@@ -1,0 +1,236 @@
+"""Camera geometry: intrinsics, SE(3) poses, projection, and coordinate-map
+label generation.
+
+Reference parity: the TF1 reference generates per-pixel scene-coordinate
+labels offline from depth + ground-truth pose (SURVEY.md §1 "Datasets",
+§2.2 component #10) and evaluates poses by comparing against 4x4
+camera-to-world matrices (7-Scenes convention). Everything here is pure
+jnp / jittable; host-side label generation simply jits these fns on CPU.
+
+Conventions
+-----------
+* Poses are 4x4 **camera-to-world** matrices ``T_wc`` (7-Scenes convention):
+  ``X_world = R @ X_cam + t`` with ``R = T_wc[:3,:3]``, ``t = T_wc[:3,3]``.
+* Intrinsics are a 3x3 ``K`` (pinhole, no distortion — 7/12-Scenes use
+  rectified images; fx=fy=585, cx=320, cy=240 for 7-Scenes).
+* Pixel coordinates are (u, v) = (x/col, y/row), origin at the top-left
+  pixel center (so pixel (0,0) has coordinate (0.0, 0.0)).
+* Coordinate maps are produced at 1/``stride`` resolution by sampling the
+  pixel at the **center of each stride x stride cell**, matching the
+  reference's label-generation convention for the 1/8-resolution output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make_intrinsics(fx: float, fy: float, cx: float, cy: float) -> jnp.ndarray:
+  """3x3 pinhole intrinsic matrix."""
+  return jnp.array(
+      [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=jnp.float32)
+
+
+# 7-Scenes / 12-Scenes default calibration (Kinect, 640x480).
+SEVEN_SCENES_K = (585.0, 585.0, 320.0, 240.0)
+
+
+def pixel_grid(height: int, width: int, stride: int = 1) -> jnp.ndarray:
+  """(H, W, 2) map of (u, v) full-resolution pixel coordinates.
+
+  With ``stride`` > 1 returns the coordinates of the *centers* of each
+  stride x stride cell of the full-resolution image, at the strided
+  resolution — i.e. the full-res pixel that a 1/stride coordinate map's
+  entry corresponds to.
+  """
+  vs = jnp.arange(height, dtype=jnp.float32) * stride + (stride - 1) / 2.0
+  us = jnp.arange(width, dtype=jnp.float32) * stride + (stride - 1) / 2.0
+  u, v = jnp.meshgrid(us, vs, indexing="xy")
+  return jnp.stack([u, v], axis=-1)
+
+
+def backproject(depth: jnp.ndarray, K: jnp.ndarray,
+                pixels: jnp.ndarray | None = None) -> jnp.ndarray:
+  """Back-project a depth map to camera-frame 3D points.
+
+  Args:
+    depth: (H, W) metric depth (z-depth along the optical axis).
+    K: (3, 3) intrinsics.
+    pixels: optional (H, W, 2) full-res (u, v) coordinates; defaults to the
+      dense pixel grid of ``depth``'s shape.
+
+  Returns:
+    (H, W, 3) camera-frame points.
+  """
+  h, w = depth.shape
+  if pixels is None:
+    pixels = pixel_grid(h, w)
+  fx, fy = K[0, 0], K[1, 1]
+  cx, cy = K[0, 2], K[1, 2]
+  x = (pixels[..., 0] - cx) / fx * depth
+  y = (pixels[..., 1] - cy) / fy * depth
+  return jnp.stack([x, y, depth], axis=-1)
+
+
+def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+  """Apply a 4x4 rigid transform to (..., 3) points."""
+  return points @ T[:3, :3].T + T[:3, 3]
+
+
+def invert_pose(T: jnp.ndarray) -> jnp.ndarray:
+  """Invert a 4x4 rigid transform."""
+  R = T[:3, :3]
+  t = T[:3, 3]
+  Ti = jnp.eye(4, dtype=T.dtype)
+  Ti = Ti.at[:3, :3].set(R.T)
+  Ti = Ti.at[:3, 3].set(-R.T @ t)
+  return Ti
+
+
+def project(points_world: jnp.ndarray, K: jnp.ndarray,
+            T_wc: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Project world points into the camera.
+
+  Returns:
+    pixels: (..., 2) (u, v) coordinates.
+    z: (...,) camera-frame depth (positive = in front of the camera).
+  """
+  T_cw = invert_pose(T_wc)
+  pc = transform_points(T_cw, points_world)
+  z = pc[..., 2]
+  zs = jnp.where(jnp.abs(z) < 1e-8, jnp.sign(z) * 1e-8 + 1e-12, z)
+  u = K[0, 0] * pc[..., 0] / zs + K[0, 2]
+  v = K[1, 1] * pc[..., 1] / zs + K[1, 2]
+  return jnp.stack([u, v], axis=-1), z
+
+
+def depth_to_world_coords(
+    depth: jnp.ndarray,
+    K: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    stride: int = 1,
+    min_depth: float = 1e-3,
+    max_depth: float = 1e3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+  """Generate a scene-coordinate label map from depth + GT pose.
+
+  This is the offline label-generation math of the reference's ``tools/``
+  step (SURVEY.md §2.2 #10). With ``stride`` > 1 the depth is sampled at
+  cell centers to produce a 1/stride-resolution label (matching the model's
+  1/8-res output; SURVEY.md §1).
+
+  Args:
+    depth: (H, W) metric depth, 0 / out-of-range = invalid.
+    stride: output subsampling factor.
+
+  Returns:
+    coords: (H/stride, W/stride, 3) world coordinates (0 where invalid).
+    valid:  (H/stride, W/stride) bool validity mask.
+  """
+  h, w = depth.shape
+  hs, ws = h // stride, w // stride
+  if stride > 1:
+    off = (stride - 1) // 2
+    d = depth[off::stride, off::stride][:hs, :ws]
+    pixels = pixel_grid(hs, ws, stride=stride)
+    # pixel_grid centers use (stride-1)/2 which may be fractional; sample the
+    # integer pixel at floor of the center instead, and use its exact coords.
+    vs = (jnp.arange(hs) * stride + off).astype(jnp.float32)
+    us = (jnp.arange(ws) * stride + off).astype(jnp.float32)
+    u, v = jnp.meshgrid(us, vs, indexing="xy")
+    pixels = jnp.stack([u, v], axis=-1)
+  else:
+    d = depth
+    pixels = pixel_grid(h, w)
+  valid = (d > min_depth) & (d < max_depth) & jnp.isfinite(d)
+  pc = backproject(jnp.where(valid, d, 1.0), K, pixels)
+  pw = transform_points(T_wc, pc)
+  coords = jnp.where(valid[..., None], pw, 0.0)
+  return coords, valid
+
+
+# ---------------------------------------------------------------------------
+# Rotations
+# ---------------------------------------------------------------------------
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+  """Skew-symmetric matrix of a 3-vector."""
+  wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+  z = jnp.zeros_like(wx)
+  return jnp.stack([
+      jnp.stack([z, -wz, wy], axis=-1),
+      jnp.stack([wz, z, -wx], axis=-1),
+      jnp.stack([-wy, wx, z], axis=-1),
+  ], axis=-2)
+
+
+def axis_angle_to_matrix(w: jnp.ndarray) -> jnp.ndarray:
+  """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix.
+
+  Numerically safe at theta -> 0 (Taylor-expanded coefficients).
+  """
+  theta2 = jnp.sum(w * w, axis=-1)
+  theta = jnp.sqrt(theta2 + 1e-24)
+  small = theta2 < 1e-12
+  # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks.
+  a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+  b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+  W = hat(w)
+  eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+  return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
+  """(..., 3, 3) rotation matrix -> (..., 3) axis-angle (log map)."""
+  trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+  cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+  theta = jnp.arccos(cos_t)
+  # Off-diagonal antisymmetric part ~ 2 sin(theta) * axis.
+  v = jnp.stack([
+      R[..., 2, 1] - R[..., 1, 2],
+      R[..., 0, 2] - R[..., 2, 0],
+      R[..., 1, 0] - R[..., 0, 1],
+  ], axis=-1)
+  sin_t = jnp.sin(theta)
+  scale = jnp.where(sin_t < 1e-6, 0.5 + theta * theta / 12.0,
+                    theta / (2.0 * sin_t + 1e-24))
+  return v * scale[..., None]
+
+
+def orthonormalize_rotation(M: jnp.ndarray) -> jnp.ndarray:
+  """Project a (..., 3, 3) matrix to the nearest rotation (det=+1) via SVD."""
+  u, _, vt = jnp.linalg.svd(M)
+  det = jnp.linalg.det(u @ vt)
+  d = jnp.ones(M.shape[:-2] + (3,), dtype=M.dtype)
+  d = d.at[..., 2].set(det)
+  return (u * d[..., None, :]) @ vt
+
+
+def make_pose(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+  """Assemble a 4x4 pose from (..., 3, 3) R and (..., 3) t."""
+  batch = R.shape[:-2]
+  T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+  T = T.at[..., :3, :3].set(R)
+  T = T.at[..., :3, 3].set(t)
+  T = T.at[..., 3, 3].set(1.0)
+  return T
+
+
+# ---------------------------------------------------------------------------
+# Pose error metrics (reference tools/ pose-eval protocol; SURVEY.md §3.4)
+# ---------------------------------------------------------------------------
+
+
+def translation_error(T_est: jnp.ndarray, T_gt: jnp.ndarray) -> jnp.ndarray:
+  """Euclidean camera-center error in meters (broadcasts over batch)."""
+  return jnp.linalg.norm(T_est[..., :3, 3] - T_gt[..., :3, 3], axis=-1)
+
+
+def rotation_error_deg(T_est: jnp.ndarray, T_gt: jnp.ndarray) -> jnp.ndarray:
+  """Geodesic rotation error in degrees (broadcasts over batch)."""
+  R = T_est[..., :3, :3] @ jnp.swapaxes(T_gt[..., :3, :3], -1, -2)
+  trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+  cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+  return jnp.degrees(jnp.arccos(cos_t))

@@ -1,0 +1,95 @@
+"""SCoordNet — the measurement system (paper §4.1; SURVEY.md §2.2 #2,#4).
+
+A fully-convolutional net mapping one RGB frame (H, W, 3) to a
+1/8-resolution scene-coordinate map (H/8, W/8, 3) plus a per-pixel
+isotropic measurement-noise variance (H/8, W/8, 1). ~24M parameters at the
+default width, matching the paper's 24.3M scale (vs DSAC++'s 104M).
+
+Head parametrization: the uncertainty channel is a log-variance, clipped
+then exponentiated — equivalent to the reference's exp activation but
+stable in bf16/fp32 mixed training. Coordinates are emitted in a
+scene-normalized frame: ``coords = raw * coord_scale + coord_offset`` with
+(offset, scale) taken from the per-scene config (the reference bakes the
+same normalization into its label generation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kfnet_tpu.nn import layers as L
+
+LOG_VAR_MIN = -12.0
+LOG_VAR_MAX = 12.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SCoordNetConfig:
+  """Architecture + output-normalization config.
+
+  channels/strides define the trunk: stride-2 layers appear exactly three
+  times so the output lands at 1/8 resolution (paper Fig. 3).
+  """
+  channels: Sequence[int] = (64, 64, 128, 128, 256, 256,
+                             512, 512, 512, 512, 512, 512, 512, 512)
+  strides: Sequence[int] = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1)
+  head_channels: int = 512
+  coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+  coord_scale: float = 1.0
+  compute_dtype: str = "bfloat16"
+
+  @property
+  def dtype(self):
+    return jnp.dtype(self.compute_dtype)
+
+  @property
+  def total_stride(self) -> int:
+    s = 1
+    for st in self.strides:
+      s *= st
+    return s
+
+
+def build(config: SCoordNetConfig) -> L.Layer:
+  """Trunk + 4-channel head as a single serial Layer."""
+  blocks = [
+      L.conv_block(c, 3, s, compute_dtype=config.dtype)
+      for c, s in zip(config.channels, config.strides)
+  ]
+  head = [
+      L.conv_block(config.head_channels, 3, 1, compute_dtype=config.dtype),
+      L.conv(4, 1, 1, use_bias=True, compute_dtype=config.dtype),
+  ]
+  return L.serial(*blocks, *head)
+
+
+def init(key: jax.Array, config: SCoordNetConfig,
+         image_shape: Tuple[int, int, int] = (480, 640, 3)):
+  net = build(config)
+  params, out_shape = net.init(key, image_shape)
+  assert out_shape[-1] == 4
+  return params
+
+
+def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
+  """Forward pass.
+
+  Args:
+    image: (..., H, W, 3) in [0, 1] (the pipeline normalizes to zero-mean).
+
+  Returns:
+    coords: (..., H/8, W/8, 3) world coordinates.
+    variance: (..., H/8, W/8, 1) measurement-noise variance σ² (positive).
+  """
+  net = build(config)
+  out = net.apply(params, image)
+  raw = out[..., :3]
+  log_var = jnp.clip(out[..., 3:4], LOG_VAR_MIN, LOG_VAR_MAX)
+  offset = jnp.asarray(config.coord_offset, jnp.float32)
+  coords = raw * config.coord_scale + offset
+  variance = jnp.exp(log_var) * (config.coord_scale ** 2)
+  return coords, variance

@@ -1,0 +1,256 @@
+"""Minimal functional NN toolkit (the TPU-native counterpart of the
+reference's ``cnn_wrapper/network.py`` — SURVEY.md §2.2 component #1).
+
+The reference uses the caffe-tensorflow ``Network`` base class with
+``@layer``-decorated stateful graph-building methods. The TPU-native design
+is the opposite: every layer is a pure (init, apply) pair, parameters are
+pytrees, and composition is a combinator (``serial``), so whole models jit,
+vmap, shard and differentiate as ordinary JAX functions.
+
+TPU-first choices:
+  * NHWC layout + HWIO kernels (XLA:TPU's native conv layout).
+  * ``compute_dtype`` (default bfloat16 on TPU) for conv inputs/weights with
+    float32 accumulation via ``preferred_element_type`` — keeps the MXU fed
+    at full rate without fp32 bandwidth.
+  * GroupNorm instead of BatchNorm: stateless (no running stats pytree
+    plumbing through scan/pjit), batch-size independent, identical math
+    under data-parallel sharding without cross-device syncs.
+  * Channel counts kept multiples of 128 where it matters so XLA tiles onto
+    the 128x128 MXU without padding waste.
+
+Layer protocol: ``layer.init(key, in_shape) -> (params, out_shape)`` and
+``layer.apply(params, x) -> y`` where shapes are (H, W, C) *without* the
+batch dim (apply fns broadcast over any leading batch dims).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class Layer:
+  init: Callable  # (key, in_shape) -> (params, out_shape)
+  apply: Callable  # (params, x) -> y
+
+
+def _fan_in_init(key, shape, fan_in, dtype=jnp.float32):
+  """He/Kaiming normal — matches the reference family's conv init."""
+  std = math.sqrt(2.0 / fan_in)
+  return jax.random.normal(key, shape, dtype) * std
+
+
+def _as_batched(x):
+  """Reshape (..., H, W, C) -> (B, H, W, C), returning unflatten info."""
+  lead = x.shape[:-3]
+  xb = x.reshape((-1,) + x.shape[-3:])
+  return xb, lead
+
+
+def conv(out_ch: int,
+         kernel: int = 3,
+         stride: int = 1,
+         dilation: int = 1,
+         padding: str = "SAME",
+         use_bias: bool = True,
+         compute_dtype=jnp.bfloat16) -> Layer:
+  """2D convolution, NHWC/HWIO, fp32 params, bf16 MXU compute."""
+
+  def init(key, in_shape):
+    h, w, c = in_shape
+    wshape = (kernel, kernel, c, out_ch)
+    params = {"w": _fan_in_init(key, wshape, kernel * kernel * c)}
+    if use_bias:
+      params["b"] = jnp.zeros((out_ch,), jnp.float32)
+    if padding == "SAME":
+      oh, ow = -(-h // stride), -(-w // stride)
+    else:  # VALID
+      eff = dilation * (kernel - 1) + 1
+      oh, ow = (h - eff) // stride + 1, (w - eff) // stride + 1
+    return params, (oh, ow, out_ch)
+
+  def apply(params, x):
+    xb, lead = _as_batched(x)
+    y = lax.conv_general_dilated(
+        xb.astype(compute_dtype),
+        params["w"].astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if use_bias:
+      y = y + params["b"]
+    return y.reshape(lead + y.shape[1:])
+
+  return Layer(init, apply)
+
+
+def conv_transpose(out_ch: int,
+                   kernel: int = 4,
+                   stride: int = 2,
+                   use_bias: bool = True,
+                   compute_dtype=jnp.bfloat16) -> Layer:
+  """2D transposed convolution (the reference's ``deconv`` upsampling)."""
+
+  def init(key, in_shape):
+    h, w, c = in_shape
+    wshape = (kernel, kernel, c, out_ch)
+    params = {"w": _fan_in_init(key, wshape, kernel * kernel * c)}
+    if use_bias:
+      params["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return params, (h * stride, w * stride, out_ch)
+
+  def apply(params, x):
+    xb, lead = _as_batched(x)
+    y = lax.conv_transpose(
+        xb.astype(compute_dtype),
+        params["w"].astype(compute_dtype),
+        strides=(stride, stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if use_bias:
+      y = y + params["b"]
+    return y.reshape(lead + y.shape[1:])
+
+  return Layer(init, apply)
+
+
+def group_norm(groups: int = 32, eps: float = 1e-5) -> Layer:
+  """GroupNorm over channel groups (stateless BatchNorm replacement)."""
+
+  def init(key, in_shape):
+    c = in_shape[-1]
+    g = min(groups, c)
+    while c % g:
+      g -= 1
+    params = {"scale": jnp.ones((c,), jnp.float32),
+              "bias": jnp.zeros((c,), jnp.float32),
+              # static group count stashed as a python int via closure
+              }
+    return params, in_shape
+
+  def apply(params, x):
+    c = x.shape[-1]
+    g = min(groups, c)
+    while c % g:
+      g -= 1
+    orig = x.shape
+    xg = x.astype(jnp.float32).reshape(orig[:-1] + (g, c // g))
+    red_axes = tuple(range(len(orig) - 3, len(orig) - 1)) + (len(orig),)
+    # normalize over (H, W, channels-within-group)
+    mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=red_axes, keepdims=True)
+    xn = (xg - mean) * lax.rsqrt(var + eps)
+    xn = xn.reshape(orig)
+    return xn * params["scale"] + params["bias"]
+
+  return Layer(init, apply)
+
+
+def activation(fn: Callable) -> Layer:
+  return Layer(
+      init=lambda key, in_shape: ({}, in_shape),
+      apply=lambda params, x: fn(x.astype(jnp.float32)),
+  )
+
+
+def relu() -> Layer:
+  return activation(jax.nn.relu)
+
+
+def elu() -> Layer:
+  return activation(jax.nn.elu)
+
+
+def max_pool(window: int = 2, stride: int = 2) -> Layer:
+  def init(key, in_shape):
+    h, w, c = in_shape
+    return {}, (-(-h // stride), -(-w // stride), c)
+
+  def apply(params, x):
+    xb, lead = _as_batched(x)
+    y = lax.reduce_window(
+        xb, -jnp.inf, lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="SAME")
+    return y.reshape(lead + y.shape[1:])
+
+  return Layer(init, apply)
+
+
+def avg_pool(window: int = 2, stride: int = 2) -> Layer:
+  def init(key, in_shape):
+    h, w, c = in_shape
+    return {}, (-(-h // stride), -(-w // stride), c)
+
+  def apply(params, x):
+    xb, lead = _as_batched(x)
+    s = lax.reduce_window(
+        xb, 0.0, lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="SAME")
+    y = s / float(window * window)
+    return y.reshape(lead + y.shape[1:])
+
+  return Layer(init, apply)
+
+
+def upsample_nearest(factor: int = 2) -> Layer:
+  def init(key, in_shape):
+    h, w, c = in_shape
+    return {}, (h * factor, w * factor, c)
+
+  def apply(params, x):
+    x = jnp.repeat(x, factor, axis=-3)
+    return jnp.repeat(x, factor, axis=-2)
+
+  return Layer(init, apply)
+
+
+def serial(*layers: Layer) -> Layer:
+  """Sequential composition. Params = list of per-layer params."""
+
+  def init(key, in_shape):
+    keys = jax.random.split(key, len(layers))
+    params = []
+    shape = in_shape
+    for k, l in zip(keys, layers):
+      p, shape = l.init(k, shape)
+      params.append(p)
+    return params, shape
+
+  def apply(params, x):
+    for p, l in zip(params, layers):
+      x = l.apply(p, x)
+    return x
+
+  return Layer(init, apply)
+
+
+def conv_block(out_ch: int, kernel: int = 3, stride: int = 1,
+               norm: bool = True, act: bool = True,
+               compute_dtype=jnp.bfloat16) -> Layer:
+  """conv [+ GroupNorm] [+ ReLU] — the reference's standard unit."""
+  ls = [conv(out_ch, kernel, stride, use_bias=not norm,
+             compute_dtype=compute_dtype)]
+  if norm:
+    ls.append(group_norm())
+  if act:
+    ls.append(relu())
+  return serial(*ls)
+
+
+def param_count(params) -> int:
+  return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

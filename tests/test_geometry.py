@@ -1,0 +1,96 @@
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.core import geometry as geo
+
+
+def random_pose(rng):
+  w = rng.normal(size=3) * 0.5
+  R = np.asarray(geo.axis_angle_to_matrix(jnp.asarray(w, jnp.float32)))
+  t = rng.normal(size=3).astype(np.float32)
+  return np.asarray(geo.make_pose(jnp.asarray(R), jnp.asarray(t)))
+
+
+def test_backproject_project_roundtrip():
+  rng = np.random.default_rng(0)
+  K = geo.make_intrinsics(*geo.SEVEN_SCENES_K)
+  T = jnp.asarray(random_pose(rng))
+  depth = jnp.asarray(rng.uniform(0.5, 4.0, size=(12, 16)).astype(np.float32))
+  coords, valid = geo.depth_to_world_coords(depth, K, T)
+  assert bool(valid.all())
+  pix, z = geo.project(coords, K, T)
+  grid = geo.pixel_grid(12, 16)
+  np.testing.assert_allclose(np.asarray(pix), np.asarray(grid), atol=1e-3)
+  np.testing.assert_allclose(np.asarray(z), np.asarray(depth), rtol=1e-5)
+
+
+def test_depth_to_world_strided_matches_dense():
+  rng = np.random.default_rng(1)
+  K = geo.make_intrinsics(*geo.SEVEN_SCENES_K)
+  T = jnp.asarray(random_pose(rng))
+  depth = jnp.asarray(rng.uniform(0.5, 4.0, size=(16, 24)).astype(np.float32))
+  dense, _ = geo.depth_to_world_coords(depth, K, T)
+  strided, valid = geo.depth_to_world_coords(depth, K, T, stride=8)
+  assert strided.shape == (2, 3, 3)
+  # strided entry (i,j) equals the dense entry at the sampled pixel.
+  off = (8 - 1) // 2
+  np.testing.assert_allclose(
+      np.asarray(strided), np.asarray(dense[off::8, off::8][:2, :3]),
+      rtol=1e-5)
+  assert bool(valid.all())
+
+
+def test_invalid_depth_masked():
+  K = geo.make_intrinsics(*geo.SEVEN_SCENES_K)
+  T = jnp.eye(4)
+  depth = jnp.ones((4, 4)).at[1, 2].set(0.0).at[3, 3].set(jnp.inf)
+  coords, valid = geo.depth_to_world_coords(depth, K, T)
+  assert not bool(valid[1, 2]) and not bool(valid[3, 3])
+  np.testing.assert_array_equal(np.asarray(coords[1, 2]), 0.0)
+
+
+def test_axis_angle_roundtrip():
+  rng = np.random.default_rng(2)
+  w = rng.normal(size=(32, 3)).astype(np.float32)
+  # log map is only unique for theta < pi; scale into that range.
+  w = jnp.asarray(w / np.linalg.norm(w, axis=-1, keepdims=True)
+                  * rng.uniform(1e-3, np.pi - 0.05, size=(32, 1)))
+  R = geo.axis_angle_to_matrix(w)
+  # Orthonormal, det +1
+  eye = jnp.einsum("bij,bkj->bik", R, R)
+  np.testing.assert_allclose(
+      np.asarray(eye), np.broadcast_to(np.eye(3), (32, 3, 3)), atol=1e-5)
+  w2 = geo.matrix_to_axis_angle(R)
+  np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-4)
+  # Beyond pi the vector wraps but the rotation must still match.
+  w_big = jnp.asarray([[0.0, 0.0, 4.0]], jnp.float32)
+  R_big = geo.axis_angle_to_matrix(w_big)
+  R_rt = geo.axis_angle_to_matrix(geo.matrix_to_axis_angle(R_big))
+  np.testing.assert_allclose(np.asarray(R_rt), np.asarray(R_big), atol=1e-4)
+
+
+def test_axis_angle_small_angle_stable():
+  w = jnp.asarray([[1e-9, -1e-9, 1e-10], [0.0, 0.0, 0.0]], jnp.float32)
+  R = geo.axis_angle_to_matrix(w)
+  np.testing.assert_allclose(
+      np.asarray(R), np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-6)
+
+
+def test_pose_errors():
+  rng = np.random.default_rng(3)
+  T = jnp.asarray(random_pose(rng))
+  # 5 degrees about z, 10cm translation offset
+  ang = np.deg2rad(5.0)
+  dR = geo.axis_angle_to_matrix(jnp.asarray([0, 0, ang], jnp.float32))
+  T2 = geo.make_pose(dR @ T[:3, :3], T[:3, 3] + jnp.asarray([0.1, 0, 0]))
+  np.testing.assert_allclose(float(geo.translation_error(T2, T)), 0.1,
+                             rtol=1e-4)
+  np.testing.assert_allclose(float(geo.rotation_error_deg(T2, T)), 5.0,
+                             rtol=1e-3)
+
+
+def test_invert_pose():
+  rng = np.random.default_rng(4)
+  T = jnp.asarray(random_pose(rng))
+  np.testing.assert_allclose(
+      np.asarray(T @ geo.invert_pose(T)), np.eye(4), atol=1e-5)
