@@ -50,6 +50,19 @@ def pixel_grid(height: int, width: int, stride: int = 1) -> jnp.ndarray:
   return jnp.stack([u, v], axis=-1)
 
 
+def cell_center_grid(height: int, width: int, stride: int) -> jnp.ndarray:
+  """(H/stride is the caller's height here) — (h, w, 2) full-res (u, v)
+  coordinates of the integer pixel each strided map cell samples:
+  ``off + stride*i`` with ``off = (stride-1)//2``. This is the exact
+  convention of ``depth_to_world_coords``; PnP must use the same grid so
+  2D-3D correspondences align sub-pixel."""
+  off = (stride - 1) // 2
+  vs = (jnp.arange(height) * stride + off).astype(jnp.float32)
+  us = (jnp.arange(width) * stride + off).astype(jnp.float32)
+  u, v = jnp.meshgrid(us, vs, indexing="xy")
+  return jnp.stack([u, v], axis=-1)
+
+
 def backproject(depth: jnp.ndarray, K: jnp.ndarray,
                 pixels: jnp.ndarray | None = None) -> jnp.ndarray:
   """Back-project a depth map to camera-frame 3D points.
@@ -133,13 +146,7 @@ def depth_to_world_coords(
   if stride > 1:
     off = (stride - 1) // 2
     d = depth[off::stride, off::stride][:hs, :ws]
-    pixels = pixel_grid(hs, ws, stride=stride)
-    # pixel_grid centers use (stride-1)/2 which may be fractional; sample the
-    # integer pixel at floor of the center instead, and use its exact coords.
-    vs = (jnp.arange(hs) * stride + off).astype(jnp.float32)
-    us = (jnp.arange(ws) * stride + off).astype(jnp.float32)
-    u, v = jnp.meshgrid(us, vs, indexing="xy")
-    pixels = jnp.stack([u, v], axis=-1)
+    pixels = cell_center_grid(hs, ws, stride)
   else:
     d = depth
     pixels = pixel_grid(h, w)

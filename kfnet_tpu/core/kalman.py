@@ -71,7 +71,10 @@ def kalman_update(
   consistent = consistency_mask(innovation, P_prior, V, threshold)
   K = kalman_gain(P_prior, V)
   x_post = x_prior + K * innovation
-  P_post = (1.0 - K) * P_prior
+  # (1-K)·P⁻ cancels catastrophically in f32 when P⁻ ≫ V (K rounds to 1,
+  # e.g. at the warp's invalid-covariance sentinel); the algebraically
+  # equal product form P⁻V/(P⁻+V) stays exact there.
+  P_post = (P_prior * V) / (P_prior + V)
   x_post = jnp.where(consistent, x_post, z)
   P_post = jnp.where(consistent, P_post, V)
   return x_post, P_post, consistent

@@ -1,0 +1,117 @@
+"""Cambridge Landmarks loader (outdoor; SURVEY.md §1 "Datasets",
+BASELINE.json config 4).
+
+Disk layout (the public PoseNet release):
+
+    <root>/<scene>/dataset_train.txt   header lines then
+                                       "seqN/frameNNNNN.png tx ty tz qw qx qy qz"
+    <root>/<scene>/dataset_test.txt
+    <root>/<scene>/seqN/frameNNNNN.png
+
+The pose line gives the **world-to-camera** transform as (t, q): the
+camera center is c = -R(q)ᵀ t. Cambridge has no sensor depth; coordinate
+labels come from SfM-rendered depth maps (``<stem>.depth.png``, 16-bit,
+millimeters — produced by the label-generation tool) when present, mirroring
+the reference's rendered-depth label workflow. Frames with no depth file are
+usable for eval only.
+
+Depth range is ~3-80 m (vs 7-Scenes' 0.5-5 m), the uncertainty-scaling
+stress case called out in BASELINE.json config 4 — handled by per-scene
+coord normalization (labels.scene_statistics), not special-cased code.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kfnet_tpu.data.seven_scenes import Frame, SceneSplit, read_color
+
+CAMBRIDGE_SCENES = ("KingsCollege", "OldHospital", "ShopFacade",
+                    "StMarysChurch", "GreatCourt", "Street")
+
+# Cambridge images are 1920x1080, commonly resized so the short side is 480.
+# Focal length from the SfM reconstruction, ~1670px at full res.
+CAMBRIDGE_K_FULLRES = (1670.0, 1670.0, 960.0, 540.0)
+
+
+def quat_to_matrix(q: np.ndarray) -> np.ndarray:
+  """(w, x, y, z) unit quaternion → 3x3 rotation."""
+  w, x, y, z = q / np.linalg.norm(q)
+  return np.asarray([
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+  ], np.float32)
+
+
+def parse_dataset_file(path: str):
+  """Yield (relative image path, T_wc 4x4) per entry."""
+  with open(path) as f:
+    lines = f.readlines()
+  for line in lines:
+    parts = line.strip().split()
+    if len(parts) != 8 or not parts[0].lower().endswith((".png", ".jpg")):
+      continue  # header / comments
+    rel = parts[0]
+    vals = np.asarray([float(v) for v in parts[1:]], np.float32)
+    t_w2c, q = vals[:3], vals[3:]
+    R_w2c = quat_to_matrix(q)
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, :3] = R_w2c.T
+    T_wc[:3, 3] = -R_w2c.T @ t_w2c
+    yield rel, T_wc
+
+
+def load_split(root: str, scene: str, split: str = "train",
+               image_scale: float = 0.25) -> tuple[SceneSplit, dict]:
+  """Returns (SceneSplit, poses dict rel_path → T_wc).
+
+  ``image_scale`` rescales intrinsics to the working resolution
+  (0.25 → 480x270 from 1920x1080).
+  """
+  scene_dir = os.path.join(root, scene)
+  fname = "dataset_train.txt" if split == "train" else "dataset_test.txt"
+  frames = []
+  poses = {}
+  for i, (rel, T_wc) in enumerate(
+      parse_dataset_file(os.path.join(scene_dir, fname))):
+    img = os.path.join(scene_dir, rel)
+    stem = os.path.splitext(img)[0]
+    depth = stem + ".depth.png"
+    frames.append(Frame(
+        color_path=img,
+        depth_path=depth if os.path.exists(depth) else None,
+        pose_path="",  # poses come from the dataset file, not per-frame txt
+        seq=rel.split("/")[0], index=i))
+    poses[img] = T_wc
+  fx, fy, cx, cy = CAMBRIDGE_K_FULLRES
+  s = image_scale
+  K = np.asarray([[fx * s, 0, cx * s], [0, fy * s, cy * s], [0, 0, 1]],
+                 np.float32)
+  return SceneSplit(scene=scene, frames=frames, intrinsics=K), poses
+
+
+def load_frame(frame: Frame, poses: dict, image_scale: float = 0.25) -> dict:
+  from PIL import Image
+  img = Image.open(frame.color_path).convert("RGB")
+  if image_scale != 1.0:
+    img = img.resize((int(img.width * image_scale),
+                      int(img.height * image_scale)), Image.BILINEAR)
+  out = {
+      "image": np.asarray(img, np.float32) / 255.0,
+      "pose": poses[frame.color_path],
+      "seq": frame.seq,
+      "index": frame.index,
+  }
+  if frame.depth_path:
+    from kfnet_tpu.data.seven_scenes import read_depth
+    d = read_depth(frame.depth_path)
+    if image_scale != 1.0:
+      dd = Image.fromarray(d)
+      dd = dd.resize((int(d.shape[1] * image_scale),
+                      int(d.shape[0] * image_scale)), Image.NEAREST)
+      d = np.asarray(dd)
+    out["depth"] = d
+  return out

@@ -1,0 +1,142 @@
+"""Host-side input pipeline: decode → augment → label → batch → prefetch.
+
+The reference feeds TF queue runners from image/label list files
+(SURVEY.md §2.2 #10, §3.1). The TPU-native shape: a background-thread
+prefetcher keeps N batches in flight ahead of the jitted train step, with
+label generation (depth+pose → coord map) running on device where it is
+~free, so the single-core host only decodes PNGs and stacks arrays.
+
+Augmentation follows the reference's per-scene training recipe: random
+crop (aligned to the 8px output stride so labels stay exact) and mild
+photometric jitter on the image only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Iterator, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class AugmentConfig:
+  crop: tuple[int, int] | None = None  # (H, W), multiple of 8
+  brightness: float = 0.15
+  contrast: float = 0.15
+  enabled: bool = True
+
+
+def _photometric(rng: np.random.Generator, img: np.ndarray,
+                 cfg: AugmentConfig) -> np.ndarray:
+  b = rng.uniform(-cfg.brightness, cfg.brightness)
+  c = rng.uniform(1.0 - cfg.contrast, 1.0 + cfg.contrast)
+  return np.clip((img - 0.5) * c + 0.5 + b, 0.0, 1.0)
+
+
+def _crop_indices(rng: np.random.Generator, h: int, w: int,
+                  crop: tuple[int, int], stride: int = 8):
+  ch, cw = crop
+  # align crop origin to the output stride so strided labels stay exact.
+  y = rng.integers(0, (h - ch) // stride + 1) * stride
+  x = rng.integers(0, (w - cw) // stride + 1) * stride
+  return int(y), int(x)
+
+
+def augment_example(rng: np.random.Generator, example: dict,
+                    cfg: AugmentConfig, stride: int = 8) -> dict:
+  """Crop image+depth together (same window ⇒ labels regenerate exactly);
+  photometric jitter on the image(s) only."""
+  if not cfg.enabled:
+    return example
+  out = dict(example)
+  img_keys = [k for k in ("image", "image_prev") if k in out]
+  if cfg.crop is not None:
+    h, w = out[img_keys[0]].shape[:2]
+    y, x = _crop_indices(rng, h, w, cfg.crop, stride)
+    ch, cw = cfg.crop
+    for k in img_keys:
+      out[k] = out[k][y:y + ch, x:x + cw]
+    for k in ("depth", "depth_prev"):
+      if k in out:
+        out[k] = out[k][y:y + ch, x:x + cw]
+    out["crop_offset"] = np.asarray([x, y], np.float32)
+  for k in img_keys:
+    out[k] = _photometric(rng, out[k], cfg)
+  return out
+
+
+class Prefetcher:
+  """Runs ``producer`` in a daemon thread, keeping up to ``depth`` items
+  queued; iteration yields until the producer is exhausted."""
+
+  _DONE = object()
+
+  def __init__(self, producer: Iterator, depth: int = 3):
+    self._q: queue.Queue = queue.Queue(maxsize=depth)
+    self._err: BaseException | None = None
+
+    def run():
+      try:
+        for item in producer:
+          self._q.put(item)
+      except BaseException as e:  # surface worker errors to the consumer
+        self._err = e
+      finally:
+        self._q.put(self._DONE)
+
+    self._thread = threading.Thread(target=run, daemon=True)
+    self._thread.start()
+
+  def __iter__(self):
+    while True:
+      item = self._q.get()
+      if item is self._DONE:
+        if self._err is not None:
+          raise self._err
+        return
+      yield item
+
+
+def batched(load_fns: Sequence[Callable[[], dict]],
+            batch_size: int,
+            seed: int = 0,
+            augment: AugmentConfig | None = None,
+            epochs: int | None = None,
+            drop_remainder: bool = True,
+            prefetch_depth: int = 3,
+            to_device: bool = True) -> Iterator[dict]:
+  """Shuffled, batched, prefetched stream of stacked numpy/device batches.
+
+  Args:
+    load_fns: one zero-arg loader per example (returns dict of arrays).
+    epochs: None = loop forever.
+  """
+  rng = np.random.default_rng(seed)
+  aug = augment or AugmentConfig(enabled=False)
+
+  def produce():
+    epoch = 0
+    while epochs is None or epoch < epochs:
+      order = rng.permutation(len(load_fns))
+      for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size and drop_remainder:
+          continue
+        examples = [augment_example(rng, load_fns[i](), aug)
+                    for i in idx]
+        batch = {}
+        for k in examples[0]:
+          v0 = examples[0][k]
+          if isinstance(v0, np.ndarray):
+            batch[k] = np.stack([e[k] for e in examples])
+        yield batch
+      epoch += 1
+
+  for batch in Prefetcher(produce(), depth=prefetch_depth):
+    if to_device:
+      batch = jax.device_put(batch)
+    yield batch

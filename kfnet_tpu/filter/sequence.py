@@ -1,0 +1,138 @@
+"""Sequence-level recursive filtering as a single ``lax.scan``
+(SURVEY.md §3.3 north-star: replace the reference's per-frame
+``session.run`` + host numpy round trip with one compiled scan whose
+(x, P, features) carry never leaves the device).
+
+Long sequences: memory is O(1) in T by construction (the carry is one
+frame's state); ``run_filter_chunked`` additionally lets callers stream
+frames from host in fixed-size chunks so arbitrarily long videos never
+materialize (T, H, W, 3) in HBM — the temporal analog of the reference's
+O(1) python loop (SURVEY.md §5 "long-context").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kfnet_tpu.models import kfnet
+
+
+def run_filter(params, config: kfnet.KFNetConfig, images: jnp.ndarray,
+               carry: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+               return_aux: bool = False):
+  """Filter a whole (T, H, W, 3) sequence in one scan.
+
+  Args:
+    images: (T, H, W, 3) frames.
+    carry: optional (x, P, feat) carry to resume from (chunked streaming);
+      None starts a new sequence with frame 0 = measurement-only.
+
+  Returns:
+    (xs, Ps): (T, h, w, 3), (T, h, w, 1) per-frame posteriors,
+    final carry, and (optionally) stacked aux dict for frames 1..T-1.
+  """
+  if carry is None:
+    x0, P0, feat0 = kfnet.first_step(params, config, images[0])
+    rest = images[1:]
+    lead = (x0, P0)
+  else:
+    x0, P0, feat0 = carry
+    rest = images
+    lead = None
+
+  def step(c, image):
+    x, P, feat = c
+    x1, P1, feat1, aux = kfnet.filter_step(params, config, x, P, feat, image)
+    out = (x1, P1, aux) if return_aux else (x1, P1)
+    return (x1, P1, feat1), out
+
+  final_carry, outs = jax.lax.scan(step, (x0, P0, feat0), rest)
+  if return_aux:
+    xs, Ps, auxs = outs
+  else:
+    xs, Ps = outs
+    auxs = None
+  if lead is not None:
+    xs = jnp.concatenate([lead[0][None], xs], axis=0)
+    Ps = jnp.concatenate([lead[1][None], Ps], axis=0)
+  if return_aux:
+    return xs, Ps, final_carry, auxs
+  return xs, Ps, final_carry
+
+
+@partial(jax.jit, static_argnames=("config", "return_aux"), donate_argnums=(3,))
+def run_filter_jit(params, config, images, carry, return_aux: bool = False):
+  """Jitted resumable chunk step: carry is donated so state updates in
+  place in HBM between chunks."""
+  return run_filter(params, config, images, carry=carry,
+                    return_aux=return_aux)
+
+
+def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
+                       chunk_size: int = 32):
+  """Stream an arbitrarily long sequence through the jitted scan in
+  fixed-shape chunks (one compilation, O(chunk) HBM).
+
+  Args:
+    frame_source: iterable of (H, W, 3) numpy/jnp frames.
+
+  Yields:
+    (x, P) posterior per frame, in order.
+  """
+  import numpy as np
+
+  buf = []
+  carry = None
+  first = True
+
+  def flush(chunk, carry, first):
+    imgs = jnp.asarray(np.stack(chunk))
+    if first:
+      xs, Ps, carry = run_filter(params, config, imgs)  # traced once
+    else:
+      xs, Ps, carry = run_filter_jit(params, config, imgs, carry)
+    return xs, Ps, carry
+
+  for frame in frame_source:
+    buf.append(frame)
+    if first and len(buf) == chunk_size + 1:
+      # first chunk holds one extra frame (frame 0 = measurement-only)
+      xs, Ps, carry = flush(buf, carry, True)
+      first = False
+      buf = []
+      for i in range(xs.shape[0]):
+        yield xs[i], Ps[i]
+    elif not first and len(buf) == chunk_size:
+      xs, Ps, carry = flush(buf, carry, False)
+      buf = []
+      for i in range(xs.shape[0]):
+        yield xs[i], Ps[i]
+  if buf:
+    # ragged tail: pad to chunk shape, then drop padded outputs.
+    n = len(buf)
+    if first:
+      xs, Ps, _ = run_filter(params, config, jnp.asarray(np.stack(buf)))
+      for i in range(n):
+        yield xs[i], Ps[i]
+    else:
+      pad = [buf[-1]] * (chunk_size - n)
+      xs, Ps, _ = flush(buf + pad, carry, False)
+      for i in range(n):
+        yield xs[i], Ps[i]
+
+
+def run_filter_python_loop(params, config: kfnet.KFNetConfig,
+                           images: jnp.ndarray):
+  """Reference-shaped python loop (one step per frame, like the TF1
+  eval driver) — used by the scan-equivalence numeric test (SURVEY.md §4)."""
+  x, P, feat = kfnet.first_step(params, config, images[0])
+  xs, Ps = [x], [P]
+  for t in range(1, images.shape[0]):
+    x, P, feat, _ = kfnet.filter_step(params, config, x, P, feat, images[t])
+    xs.append(x)
+    Ps.append(P)
+  return jnp.stack(xs), jnp.stack(Ps)

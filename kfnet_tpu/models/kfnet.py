@@ -1,0 +1,105 @@
+"""KFNet — the combined measurement + process + filtering system
+(paper §3; SURVEY.md §2.2 #7–#9, call stack §3.3).
+
+One *filter step* fuses, entirely on device:
+  OFlowNet (flow, W) → warp of (x, P) → SCoordNet (z, V) → Kalman update
+  with χ² consistency reset.
+
+The reference runs this step as one ``session.run`` per frame with the
+state round-tripping through host numpy (its structural bottleneck,
+SURVEY.md §3.3). Here the step is a pure function of
+(params, carry, frame) so ``filter/sequence.py`` can drive the whole
+sequence inside a single ``lax.scan`` with the carry donated and
+HBM-resident; the warp∘gain∘update inner piece can optionally run as the
+fused Pallas kernel (``kernels/fused_filter.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kfnet_tpu.core import kalman
+from kfnet_tpu.core import warp as warp_lib
+from kfnet_tpu.kernels.cost_volume import cost_volume
+from kfnet_tpu.models import oflownet, scoordnet
+
+
+@dataclasses.dataclass(frozen=True)
+class KFNetConfig:
+  scoordnet: scoordnet.SCoordNetConfig = scoordnet.SCoordNetConfig()
+  oflownet: oflownet.OFlowNetConfig = oflownet.OFlowNetConfig()
+  chi2_threshold: float = kalman.CHI2_3DOF_P05
+  invalid_cov: float = 1e8
+  use_pallas: bool = False  # fused warp+update kernel (TPU only)
+
+
+def init(key: jax.Array, config: KFNetConfig,
+         image_shape: Tuple[int, int, int] = (480, 640, 3)):
+  k1, k2 = jax.random.split(key)
+  return {
+      "scoordnet": scoordnet.init(k1, config.scoordnet, image_shape),
+      "oflownet": oflownet.init(k2, config.oflownet, image_shape),
+  }
+
+
+def measure(params, config: KFNetConfig, image: jnp.ndarray):
+  """SCoordNet measurement: (..., H, W, 3) image -> (z, V) at 1/8 res."""
+  return scoordnet.apply(params["scoordnet"], config.scoordnet, image)
+
+
+def encode(params, config: KFNetConfig, image: jnp.ndarray):
+  """OFlowNet encoder features for one frame (carried across the scan so
+  each frame is encoded exactly once)."""
+  return oflownet.encode(params["oflownet"], config.oflownet, image)
+
+
+def flow_from_features(params, config: KFNetConfig, feat_prev, feat_cur):
+  cv = cost_volume(feat_prev, feat_cur, config.oflownet.search_radius)
+  return oflownet.decode(params["oflownet"], config.oflownet, cv)
+
+
+def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
+  """warp ∘ gain ∘ innovation ∘ update — XLA composition or Pallas kernel."""
+  if config.use_pallas:
+    from kfnet_tpu.kernels import fused_filter
+    return fused_filter.fused_warp_kalman(
+        x_prev, P_prev, flow, W, z, V,
+        threshold=config.chi2_threshold, invalid_cov=config.invalid_cov)
+  x_pr, P_pr, _ = warp_lib.warp_state_cov(
+      x_prev, P_prev, flow, W, invalid_cov=config.invalid_cov)
+  x_post, P_post, consistent = kalman.kalman_update(
+      x_pr, P_pr, z, V, threshold=config.chi2_threshold)
+  return x_post, P_post, consistent
+
+
+def filter_step(params, config: KFNetConfig, x_prev, P_prev, feat_prev,
+                image_cur):
+  """One recursive-filter step (single sequence element, no batch dim).
+
+  Args:
+    x_prev/P_prev: (h, w, 3)/(h, w, 1) previous posterior.
+    feat_prev: (h, w, C) OFlowNet features of the previous frame.
+    image_cur: (H, W, 3) current frame.
+
+  Returns:
+    (x_post, P_post, feat_cur, aux) with aux = dict(flow, W, z, V,
+    consistent).
+  """
+  feat_cur = encode(params, config, image_cur)
+  flow, W = flow_from_features(params, config, feat_prev, feat_cur)
+  z, V = measure(params, config, image_cur)
+  x_post, P_post, consistent = _fused_update(
+      config, x_prev, P_prev, flow, W, z, V)
+  aux = {"flow": flow, "W": W, "z": z, "V": V, "consistent": consistent}
+  return x_post, P_post, feat_cur, aux
+
+
+def first_step(params, config: KFNetConfig, image: jnp.ndarray):
+  """Frame 0: no prior — posterior = measurement (SURVEY.md §3.3 last line)."""
+  z, V = measure(params, config, image)
+  feat = encode(params, config, image)
+  return z, V, feat

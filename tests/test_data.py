@@ -1,0 +1,136 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfnet_tpu.core import geometry as geo
+from kfnet_tpu.data import labels, pipeline, synthetic
+from kfnet_tpu.data import seven_scenes as s7
+
+
+def test_synthetic_sequence_geometry_consistent():
+  """Labels from rendered depth must reproject onto the pixel grid, and the
+  same world point must land on matching coords across frames."""
+  seq = synthetic.make_sequence(3, height=48, width=64, seed=0)
+  K, poses = seq["K"], seq["poses"]
+  coords, valid = labels.generate(seq["depths"][0], K, poses[0], stride=8)
+  assert coords.shape == (6, 8, 3) and bool(valid.all())
+  pix, z = geo.project(coords, K, poses[0])
+  grid = geo.cell_center_grid(6, 8, 8)
+  np.testing.assert_allclose(np.asarray(pix), np.asarray(grid), atol=1e-2)
+  assert bool((z > 0).all())
+
+
+def test_synthetic_multiview_consistency():
+  """A scene point visible in two frames has (nearly) the same world
+  coords in both frames' label maps (sphere field is static)."""
+  seq = synthetic.make_sequence(2, height=96, width=128, seed=1)
+  K = seq["K"]
+  c0, v0 = labels.generate(seq["depths"][0], K, seq["poses"][0], stride=1)
+  # project frame-0 world points into frame 1 and sample its label map.
+  pix1, z1 = geo.project(c0, K, seq["poses"][1])
+  c1, v1 = labels.generate(seq["depths"][1], K, seq["poses"][1], stride=1)
+  ui = np.round(np.asarray(pix1[..., 0])).astype(int)
+  vi = np.round(np.asarray(pix1[..., 1])).astype(int)
+  ok = (ui >= 0) & (ui < 128) & (vi >= 0) & (vi < 96) & np.asarray(z1 > 0)
+  a = np.asarray(c0)[ok]
+  b = np.asarray(c1)[vi[ok], ui[ok]]
+  # occlusion changes some matches; median agreement must be tight.
+  med = np.median(np.linalg.norm(a - b, axis=-1))
+  assert med < 0.05, med
+
+
+def test_scene_statistics():
+  coords = [np.ones((4, 4, 3), np.float32) * 2.0]
+  valid = [np.ones((4, 4), bool)]
+  mean, std = labels.scene_statistics(coords, valid)
+  np.testing.assert_allclose(mean, [2, 2, 2], atol=1e-6)
+  assert std < 1e-5
+
+
+def test_labels_save_load(tmp_path):
+  c = np.random.default_rng(0).normal(size=(6, 8, 3)).astype(np.float32)
+  v = np.ones((6, 8), bool)
+  p = str(tmp_path / "lab" / "000000.npz")
+  labels.save(p, c, v)
+  c2, v2 = labels.load(p)
+  np.testing.assert_array_equal(c, c2)
+  np.testing.assert_array_equal(v, v2)
+
+
+def make_fake_7scenes(root, scene="chess", n=4):
+  from PIL import Image
+  rng = np.random.default_rng(0)
+  sdir = os.path.join(root, scene, "seq-01")
+  os.makedirs(sdir, exist_ok=True)
+  with open(os.path.join(root, scene, "TrainSplit.txt"), "w") as f:
+    f.write("sequence1\n")
+  with open(os.path.join(root, scene, "TestSplit.txt"), "w") as f:
+    f.write("sequence1\n")
+  for i in range(n):
+    img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+    Image.fromarray(img).save(os.path.join(sdir, f"frame-{i:06d}.color.png"))
+    d = (rng.uniform(500, 4000, (48, 64))).astype(np.uint16)
+    d[0, 0] = 65535
+    Image.fromarray(d, mode="I;16").save(
+        os.path.join(sdir, f"frame-{i:06d}.depth.png"))
+    np.savetxt(os.path.join(sdir, f"frame-{i:06d}.pose.txt"),
+               np.eye(4, dtype=np.float32))
+  return root
+
+
+def test_seven_scenes_loader(tmp_path):
+  root = make_fake_7scenes(str(tmp_path))
+  split = s7.load_split(root, "chess", "train")
+  assert len(split.frames) == 4
+  fr = s7.load_frame(split.frames[0])
+  assert fr["image"].shape == (48, 64, 3)
+  assert fr["image"].max() <= 1.0
+  assert fr["depth"].shape == (48, 64)
+  assert fr["depth"][0, 0] == 0.0  # invalid sentinel mapped to 0
+  assert 0.4 < fr["depth"][1:].max() <= 4.0  # mm → m
+  seqs = list(s7.iter_sequences(split))
+  assert len(seqs) == 1 and [f.index for f in seqs[0]] == [0, 1, 2, 3]
+
+
+def test_pipeline_batching_and_augment(tmp_path):
+  root = make_fake_7scenes(str(tmp_path), n=6)
+  split = s7.load_split(root, "chess", "train")
+  load_fns = [lambda fr=fr: s7.load_frame(fr) for fr in split.frames]
+  aug = pipeline.AugmentConfig(crop=(32, 48), brightness=0.1, contrast=0.1)
+  it = pipeline.batched(load_fns, batch_size=2, augment=aug, epochs=2,
+                        to_device=False)
+  batches = list(it)
+  assert len(batches) == 6  # 6 examples / bs2 * 2 epochs
+  b = batches[0]
+  assert b["image"].shape == (2, 32, 48, 3)
+  assert b["depth"].shape == (2, 32, 48)
+  assert b["crop_offset"].shape == (2, 2)
+  assert (b["crop_offset"] % 8 == 0).all()
+
+
+def test_pipeline_propagates_worker_errors():
+  def boom():
+    raise RuntimeError("decode failed")
+  with pytest.raises(RuntimeError, match="decode failed"):
+    list(pipeline.batched([boom], batch_size=1, epochs=1, to_device=False))
+
+
+def test_cambridge_pose_parsing(tmp_path):
+  from kfnet_tpu.data import cambridge
+  scene_dir = tmp_path / "KingsCollege"
+  (scene_dir / "seq1").mkdir(parents=True)
+  # camera at world origin looking +z: w2c = identity, t = 0
+  with open(scene_dir / "dataset_train.txt", "w") as f:
+    f.write("Visual Landmark Dataset\nImageFile, Camera Position [X Y Z W P Q R]\n\n")
+    f.write("seq1/frame00001.png 1.0 2.0 3.0 1.0 0.0 0.0 0.0\n")
+  from PIL import Image
+  Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+      scene_dir / "seq1" / "frame00001.png")
+  split, poses = cambridge.load_split(str(tmp_path), "KingsCollege", "train")
+  assert len(split.frames) == 1
+  T = poses[split.frames[0].color_path]
+  # identity rotation: camera center = -t
+  np.testing.assert_allclose(T[:3, 3], [-1, -2, -3], atol=1e-6)
+  np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
