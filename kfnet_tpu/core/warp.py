@@ -54,7 +54,10 @@ def bilinear_sample(
   du = u - u0
   dv = v - v0
 
-  valid = (u0 >= 0) & (u0 + 1 <= w - 1) & (v0 >= 0) & (v0 + 1 <= h - 1)
+  # Valid iff the sample point lies in the image domain [0, w-1]x[0, h-1]
+  # (inclusive): at u == w-1 exactly the x1 corner has zero weight, so the
+  # clipped gather is still exact — identity warp is valid everywhere.
+  valid = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1)
 
   x0 = jnp.clip(u0.astype(jnp.int32), 0, w - 1)
   x1 = jnp.clip(x0 + 1, 0, w - 1)

@@ -66,7 +66,9 @@ def _frames_in_seq(seq_dir: str, seq: str) -> list[Frame]:
     base = os.path.join(seq_dir, f"frame-{idx:06d}")
     color = base + ".color.png"
     if not os.path.exists(color):
-      break
+      color = base + ".color.jpg"  # 12-Scenes ships JPEG color
+      if not os.path.exists(color):
+        break
     depth = base + ".depth.png"
     frames.append(Frame(
         color_path=color,

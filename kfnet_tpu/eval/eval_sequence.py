@@ -1,0 +1,113 @@
+"""Flagship inference path: recursive filtering of a test sequence + per
+frame PnP pose solve + per-scene median report (reference: ``KFNet/eval.py``
++ ``tools/`` pose eval, SURVEY.md §3.3/§3.4 — rebuilt as device-resident
+scan + batched RANSAC, no per-frame host round trips).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.filter import sequence
+from kfnet_tpu.models import kfnet
+from kfnet_tpu.pose import metrics as pose_metrics
+from kfnet_tpu.pose import ransac
+
+
+@dataclasses.dataclass
+class EvalResult:
+  poses: np.ndarray          # (T, 4, 4) estimated camera-to-world
+  coords: np.ndarray         # (T, h, w, 3) fused coordinate maps
+  covariance: np.ndarray     # (T, h, w, 1)
+  frames_per_sec: float
+  report: dict | None = None
+
+
+def evaluate_sequence(params, config: kfnet.KFNetConfig,
+                      images: jnp.ndarray, K: jnp.ndarray,
+                      gt_poses: np.ndarray | None = None,
+                      scene: str = "",
+                      ransac_config: ransac.RansacConfig = ransac.RansacConfig(),
+                      stride: int = 8,
+                      rng: jax.Array | None = None) -> EvalResult:
+  """Filter a (T, H, W, 3) sequence and solve a pose per frame.
+
+  The filter scan and the vmapped PnP solve are two jit regions; fused
+  maps stay on device between them.
+  """
+  rng = rng if rng is not None else jax.random.key(0)
+
+  run = jax.jit(lambda p, im: sequence.run_filter(p, config, im)[:2])
+  solve = jax.jit(jax.vmap(
+      lambda c, P, k: ransac.solve_pnp_from_maps(
+          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
+          config=ransac_config)))
+
+  from kfnet_tpu.utils.timing import sync
+
+  # warmup compile of BOTH stages (excluded from timing)
+  keys = jax.random.split(rng, images.shape[0])
+  xs, Ps = run(params, images)
+  out = solve(xs, Ps, keys)
+  sync(out["T_wc"])
+  t0 = time.perf_counter()
+  xs, Ps = run(params, images)
+  out = solve(xs, Ps, keys)
+  sync(out["T_wc"])
+  dt = time.perf_counter() - t0
+  fps = images.shape[0] / dt
+
+  poses = np.asarray(out["T_wc"])
+  result = EvalResult(
+      poses=poses, coords=np.asarray(xs), covariance=np.asarray(Ps),
+      frames_per_sec=fps)
+  if gt_poses is not None:
+    result.report = pose_metrics.report(scene, poses, np.asarray(gt_poses))
+    result.report["frames_per_sec"] = fps
+  return result
+
+
+def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
+                              images: jnp.ndarray, K: jnp.ndarray,
+                              gt_poses: np.ndarray | None = None,
+                              scene: str = "",
+                              ransac_config=ransac.RansacConfig(),
+                              stride: int = 8,
+                              rng: jax.Array | None = None) -> EvalResult:
+  """SCoordNet-only ablation (no temporal filter) — the reference's
+  single-frame baseline row (SURVEY.md §6)."""
+  rng = rng if rng is not None else jax.random.key(0)
+  measure = jax.jit(jax.vmap(lambda im: kfnet.measure(params, config, im)))
+  solve = jax.jit(jax.vmap(
+      lambda c, P, k: ransac.solve_pnp_from_maps(
+          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
+          config=ransac_config)))
+  from kfnet_tpu.utils.timing import sync
+
+  keys = jax.random.split(rng, images.shape[0])
+  zs, Vs = measure(images)
+  out = solve(zs, Vs, keys)
+  sync(out["T_wc"])
+  t0 = time.perf_counter()
+  zs, Vs = measure(images)
+  out = solve(zs, Vs, keys)
+  sync(out["T_wc"])
+  fps = images.shape[0] / (time.perf_counter() - t0)
+  poses = np.asarray(out["T_wc"])
+  result = EvalResult(poses=poses, coords=np.asarray(zs),
+                      covariance=np.asarray(Vs), frames_per_sec=fps)
+  if gt_poses is not None:
+    result.report = pose_metrics.report(scene, poses, np.asarray(gt_poses))
+    result.report["frames_per_sec"] = fps
+  return result
+
+
+def write_report(path: str, reports: list[dict]):
+  with open(path, "w") as f:
+    json.dump({"scenes": reports}, f, indent=2)

@@ -1,0 +1,90 @@
+"""Recursive-filter evaluation CLI (reference: ``KFNet/eval.py`` +
+``tools/`` pose eval — SURVEY.md §3.3/§3.4):
+
+    python -m kfnet_tpu.eval.main \
+        --input_folder /data/7scenes --scene chess \
+        --scoordnet_ckpt ... --oflownet_ckpt ... \
+        --report /tmp/chess_report.json [--measurement_only]
+
+Runs the device-resident scan filter over every test sequence of the
+scene, solves a pose per frame with batched PnP-RANSAC, and writes a
+structured JSON report (median cm/deg, 5cm5deg accuracy, fps).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.data import seven_scenes as s7
+from kfnet_tpu.eval import eval_sequence
+from kfnet_tpu.train.train_kfnet import load_pretrained
+from kfnet_tpu.utils import config as config_lib
+
+
+def main(argv=None):
+  parser = config_lib.add_common_flags(argparse.ArgumentParser())
+  parser.add_argument("--scoordnet_ckpt", default="")
+  parser.add_argument("--oflownet_ckpt", default="")
+  parser.add_argument("--report", default="")
+  parser.add_argument("--measurement_only", action="store_true")
+  parser.add_argument("--use_pallas", action="store_true",
+                      help="fused filter kernel (TPU)")
+  parser.add_argument("--dump_dir", default="",
+                      help="dump per-frame fused coord+uncertainty maps "
+                           "(.npz) like the reference eval scripts")
+  parser.add_argument("--profile_dir", default="",
+                      help="capture a jax.profiler trace of the first "
+                           "sequence into this dir")
+  args = parser.parse_args(argv)
+  exp = config_lib.from_args(args)
+
+  image_shape = exp.dataset.image_size + (3,)
+  cfg, params = load_pretrained(
+      exp, image_shape, args.scoordnet_ckpt or None,
+      args.oflownet_ckpt or None, seed=exp.seed)
+  if args.use_pallas:
+    import dataclasses
+    cfg = dataclasses.replace(cfg, use_pallas=True)
+
+  split = s7.load_split(exp.input_folder, exp.scene, "test",
+                        intrinsics=exp.dataset.intrinsics)
+  K = jnp.asarray(split.intrinsics)
+  reports = []
+  for i, seq_frames in enumerate(s7.iter_sequences(split)):
+    frames = [s7.load_frame(fr) for fr in seq_frames]
+    images = jnp.asarray(np.stack([f["image"] for f in frames]))
+    gt = np.stack([f["pose"] for f in frames])
+    fn = (eval_sequence.evaluate_measurement_only if args.measurement_only
+          else eval_sequence.evaluate_sequence)
+    import contextlib
+    profiling = (jax.profiler.trace(args.profile_dir)
+                 if args.profile_dir and i == 0 else contextlib.nullcontext())
+    with profiling:
+      res = fn(params, cfg, images, K, gt_poses=gt,
+               scene=f"{exp.scene}/{seq_frames[0].seq}",
+               stride=exp.dataset.stride)
+    if args.dump_dir:
+      # per-frame dump, mirroring the reference eval scripts' map blobs
+      # (SURVEY.md §2.2 #5/#8: "dumps fused maps").
+      import os
+      seq_name = seq_frames[0].seq
+      os.makedirs(os.path.join(args.dump_dir, seq_name), exist_ok=True)
+      for t, fr in enumerate(seq_frames):
+        np.savez_compressed(
+            os.path.join(args.dump_dir, seq_name, f"frame-{fr.index:06d}"),
+            coords=res.coords[t], covariance=res.covariance[t],
+            pose=res.poses[t])
+    reports.append(res.report)
+    print(json.dumps(res.report))
+  if args.report:
+    eval_sequence.write_report(args.report, reports)
+  return reports
+
+
+if __name__ == "__main__":
+  main()

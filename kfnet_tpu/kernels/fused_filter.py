@@ -61,12 +61,12 @@ def _kernel(x_ref, P_ref, flow_ref, W_ref, z_ref, V_ref,
   ax = fx - i0x
   ay = fy - i0y
 
-  # Validity of the full bilinear footprint (matches core.warp).
-  col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-  row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-  u0 = col + jnp.floor(fx_raw)
-  v0 = row + jnp.floor(fy_raw)
-  valid = (u0 >= 0) & (u0 <= w - 2) & (v0 >= 0) & (v0 <= h - 2)
+  # Validity: sample point inside [0, w-1]x[0, h-1] (matches core.warp).
+  col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+  row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+  uf = col + fx_raw
+  vf = row + fy_raw
+  valid = (uf >= 0) & (uf <= w - 1) & (vf >= 0) & (vf <= h - 1)
 
   acc0 = jnp.zeros((h, w), jnp.float32)
   acc1 = jnp.zeros((h, w), jnp.float32)

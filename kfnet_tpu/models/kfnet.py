@@ -63,17 +63,24 @@ def flow_from_features(params, config: KFNetConfig, feat_prev, feat_cur):
 
 
 def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
-  """warp ∘ gain ∘ innovation ∘ update — XLA composition or Pallas kernel."""
+  """warp ∘ gain ∘ innovation ∘ update — XLA composition or Pallas kernel.
+
+  Returns (x_post, P_post, consistent, prior) where prior is
+  (x_prior, P_prior) on the XLA path (needed by the joint training loss)
+  and None on the Pallas fast path (prior never materializes in HBM).
+  """
   if config.use_pallas:
     from kfnet_tpu.kernels import fused_filter
-    return fused_filter.fused_warp_kalman(
+    x_post, P_post, consistent = fused_filter.fused_warp_kalman(
         x_prev, P_prev, flow, W, z, V,
+        radius=config.oflownet.search_radius,
         threshold=config.chi2_threshold, invalid_cov=config.invalid_cov)
+    return x_post, P_post, consistent, None
   x_pr, P_pr, _ = warp_lib.warp_state_cov(
       x_prev, P_prev, flow, W, invalid_cov=config.invalid_cov)
   x_post, P_post, consistent = kalman.kalman_update(
       x_pr, P_pr, z, V, threshold=config.chi2_threshold)
-  return x_post, P_post, consistent
+  return x_post, P_post, consistent, (x_pr, P_pr)
 
 
 def filter_step(params, config: KFNetConfig, x_prev, P_prev, feat_prev,
@@ -92,9 +99,11 @@ def filter_step(params, config: KFNetConfig, x_prev, P_prev, feat_prev,
   feat_cur = encode(params, config, image_cur)
   flow, W = flow_from_features(params, config, feat_prev, feat_cur)
   z, V = measure(params, config, image_cur)
-  x_post, P_post, consistent = _fused_update(
+  x_post, P_post, consistent, prior = _fused_update(
       config, x_prev, P_prev, flow, W, z, V)
   aux = {"flow": flow, "W": W, "z": z, "V": V, "consistent": consistent}
+  if prior is not None:
+    aux["x_prior"], aux["P_prior"] = prior
   return x_post, P_post, feat_cur, aux
 
 

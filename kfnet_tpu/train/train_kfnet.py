@@ -1,0 +1,82 @@
+"""Joint KFNet fine-tune on temporal pairs (reference: ``KFNet/train.py``,
+SURVEY.md §3.5): loads pretrained SCoordNet (per scene) + OFlowNet (per
+dataset) checkpoints and optimizes the posterior NLL through both subnets.
+
+    python -m kfnet_tpu.train.train_kfnet \
+        --input_folder /data/7scenes --scene chess \
+        --scoordnet_ckpt /ckpts/scoordnet_chess \
+        --oflownet_ckpt /ckpts/oflownet_7scenes \
+        --model_folder /ckpts/kfnet_chess
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+
+from kfnet_tpu.models import kfnet, oflownet, scoordnet
+from kfnet_tpu.data import pipeline
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.train import objectives, trainer
+from kfnet_tpu.train.train_oflownet import make_pair_loaders
+from kfnet_tpu.utils import checkpoint as ckpt_lib
+from kfnet_tpu.utils import config as config_lib
+from kfnet_tpu.utils import logging as log_lib
+
+
+def load_pretrained(exp: config_lib.ExperimentConfig, image_shape,
+                    scoordnet_ckpt: str | None, oflownet_ckpt: str | None,
+                    seed: int = 0):
+  """Init the combined pytree, overwriting subnets from stage-1/2
+  checkpoints when given (fresh init otherwise, for smoke tests)."""
+  cfg = exp.kfnet_config()
+  params = kfnet.init(jax.random.key(seed), cfg, image_shape)
+  if scoordnet_ckpt:
+    params["scoordnet"] = ckpt_lib.load_params(
+        scoordnet_ckpt, template=params["scoordnet"])
+  if oflownet_ckpt:
+    params["oflownet"] = ckpt_lib.load_params(
+        oflownet_ckpt, template=params["oflownet"])
+  return cfg, params
+
+
+def main(argv=None):
+  parser = config_lib.add_common_flags(argparse.ArgumentParser())
+  parser.add_argument("--scoordnet_ckpt", default="")
+  parser.add_argument("--oflownet_ckpt", default="")
+  parser.add_argument("--posterior_weight", type=float, default=1.0)
+  parser.add_argument("--measurement_weight", type=float, default=0.5)
+  parser.add_argument("--prior_weight", type=float, default=0.5)
+  args = parser.parse_args(argv)
+  exp = config_lib.from_args(args)
+
+  image_shape = exp.dataset.image_size + (3,)
+  cfg, params = load_pretrained(
+      exp, image_shape, args.scoordnet_ckpt or None,
+      args.oflownet_ckpt or None, seed=exp.seed)
+  weights = objectives.JointLossWeights(
+      posterior=args.posterior_weight,
+      measurement=args.measurement_weight,
+      prior=args.prior_weight)
+  loss_fn = objectives.kfnet_objective(cfg, weights)
+
+  load_fns = make_pair_loaders(exp, [exp.scene])
+  out_dir = os.path.join(exp.model_folder, f"kfnet_{exp.scene}")
+  logger = log_lib.MetricLogger(
+      jsonl_path=os.path.join(out_dir, "metrics.jsonl"),
+      tensorboard_dir=os.path.join(out_dir, "tb"))
+  loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
+  batches = pipeline.batched(load_fns, exp.batch_size, seed=exp.seed)
+  state = trainer.fit(loss_fn, params, batches,
+                      optimizer_cfg=exp.optimizer, loop_cfg=loop,
+                      mesh=mesh_lib.default_mesh(exp.batch_size),
+                      logger=logger)
+  logger.log_text(f"done at step {int(state.step)}")
+  return state
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,93 @@
+"""Per-dataset OFlowNet training on consecutive-frame pairs (reference:
+``OFlowNet/train.py``, SURVEY.md §3.2). Scene-agnostic: pairs are drawn
+across all scenes of the dataset.
+
+    python -m kfnet_tpu.train.train_oflownet \
+        --input_folder /data/7scenes --scenes chess,fire,heads \
+        --model_folder /ckpts/oflownet_7scenes
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+
+import jax
+import numpy as np
+
+from kfnet_tpu.data import labels, pipeline
+from kfnet_tpu.data import seven_scenes as s7
+from kfnet_tpu.models import oflownet
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.train import objectives, trainer
+from kfnet_tpu.utils import config as config_lib
+from kfnet_tpu.utils import logging as log_lib
+
+
+def make_pair_loaders(exp: config_lib.ExperimentConfig, scenes: list[str],
+                      frame_gap: int = 1):
+  """Consecutive-frame pair examples across all requested scenes."""
+  load_fns = []
+  for scene in scenes:
+    split = s7.load_split(exp.input_folder, scene, "train",
+                          intrinsics=exp.dataset.intrinsics)
+    K = split.intrinsics
+    stride = exp.dataset.stride
+
+    def load_pair(fr_prev, fr_cur, K=K, stride=stride):
+      a = s7.load_frame(fr_prev)
+      b = s7.load_frame(fr_cur)
+      ca, va = labels.generate(np.asarray(a["depth"]), K, a["pose"],
+                               stride=stride,
+                               min_depth=exp.dataset.min_depth,
+                               max_depth=exp.dataset.max_depth)
+      cb, vb = labels.generate(np.asarray(b["depth"]), K, b["pose"],
+                               stride=stride,
+                               min_depth=exp.dataset.min_depth,
+                               max_depth=exp.dataset.max_depth)
+      return {"image_prev": a["image"], "image": b["image"],
+              "coords_prev": np.asarray(ca), "valid_prev": np.asarray(va),
+              "coords": np.asarray(cb), "valid": np.asarray(vb)}
+
+    for seq_frames in s7.iter_sequences(split):
+      for i in range(len(seq_frames) - frame_gap):
+        load_fns.append(functools.partial(
+            load_pair, seq_frames[i], seq_frames[i + frame_gap]))
+  return load_fns
+
+
+def main(argv=None):
+  parser = config_lib.add_common_flags(argparse.ArgumentParser())
+  parser.add_argument("--scenes", default="",
+                      help="comma-separated; default = all 7-Scenes")
+  parser.add_argument("--frame_gap", type=int, default=1)
+  parser.add_argument("--flow_reg_weight", type=float, default=0.0)
+  args = parser.parse_args(argv)
+  exp = config_lib.from_args(args)
+  scenes = ([s for s in args.scenes.split(",") if s]
+            or list(s7.SEVEN_SCENES))
+
+  load_fns = make_pair_loaders(exp, scenes, args.frame_gap)
+  params = oflownet.init(
+      jax.random.key(exp.seed), exp.oflownet, exp.dataset.image_size + (3,))
+  loss_fn = objectives.oflownet_objective(
+      exp.oflownet, flow_reg_weight=args.flow_reg_weight)
+
+  out_dir = os.path.join(exp.model_folder, f"oflownet_{exp.dataset.name}")
+  logger = log_lib.MetricLogger(
+      jsonl_path=os.path.join(out_dir, "metrics.jsonl"),
+      tensorboard_dir=os.path.join(out_dir, "tb"))
+  loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
+  batches = pipeline.batched(load_fns, exp.batch_size, seed=exp.seed)
+  state = trainer.fit(loss_fn, params, batches,
+                      optimizer_cfg=exp.optimizer, loop_cfg=loop,
+                      mesh=mesh_lib.default_mesh(exp.batch_size),
+                      logger=logger)
+  logger.log_text(f"done at step {int(state.step)}")
+  return state
+
+
+if __name__ == "__main__":
+  main()

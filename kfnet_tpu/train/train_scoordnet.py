@@ -1,0 +1,100 @@
+"""Per-scene SCoordNet training (reference: ``SCoordNet/train.py``,
+SURVEY.md §3.1).
+
+    python -m kfnet_tpu.train.train_scoordnet \
+        --input_folder /data/7scenes --scene chess \
+        --model_folder /ckpts/scoordnet_chess
+
+The input pipeline decodes frames on the host, generates coordinate-map
+labels on device from depth + GT pose, and the jitted DP train step runs
+under the data mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+
+import jax
+import numpy as np
+
+from kfnet_tpu.data import labels, pipeline
+from kfnet_tpu.data import seven_scenes as s7
+from kfnet_tpu.models import scoordnet
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.train import objectives, trainer
+from kfnet_tpu.utils import config as config_lib
+from kfnet_tpu.utils import logging as log_lib
+
+
+def make_scene_loader(exp: config_lib.ExperimentConfig):
+  """Returns (load_fns, scene_stats) for per-frame SCoordNet examples."""
+  split = s7.load_split(exp.input_folder, exp.scene, "train",
+                        intrinsics=exp.dataset.intrinsics)
+  K = split.intrinsics
+  stride = exp.dataset.stride
+
+  def load(frame):
+    ex = s7.load_frame(frame)
+    return {"image": ex["image"], "depth": ex["depth"], "pose": ex["pose"]}
+
+  # Pass 1 (subsampled): scene coordinate statistics for normalization.
+  sample = split.frames[::max(1, len(split.frames) // 200)]
+  cs, vs = [], []
+  for fr in sample[:200]:
+    ex = load(fr)
+    c, v = labels.generate(
+        np.asarray(ex["depth"]), K, ex["pose"], stride=stride,
+        min_depth=exp.dataset.min_depth, max_depth=exp.dataset.max_depth)
+    cs.append(np.asarray(c))
+    vs.append(np.asarray(v))
+  mean, std = labels.scene_statistics(cs, vs)
+
+  def load_with_labels(frame):
+    ex = load(frame)
+    c, v = labels.generate(
+        np.asarray(ex["depth"]), K, ex["pose"], stride=stride,
+        min_depth=exp.dataset.min_depth, max_depth=exp.dataset.max_depth)
+    return {"image": ex["image"], "coords": np.asarray(c),
+            "valid": np.asarray(v)}
+
+  load_fns = [functools.partial(load_with_labels, fr) for fr in split.frames]
+  return load_fns, (mean, std)
+
+
+def main(argv=None):
+  parser = config_lib.add_common_flags(argparse.ArgumentParser())
+  args = parser.parse_args(argv)
+  exp = config_lib.from_args(args)
+
+  load_fns, (mean, std) = make_scene_loader(exp)
+  net_cfg = dataclasses.replace(
+      exp.scoordnet, coord_offset=tuple(float(x) for x in mean),
+      coord_scale=float(std))
+  params = scoordnet.init(
+      jax.random.key(exp.seed), net_cfg, exp.dataset.image_size + (3,))
+  loss_fn = objectives.scoordnet_objective(net_cfg)
+
+  out_dir = os.path.join(exp.model_folder, f"scoordnet_{exp.scene}")
+  logger = log_lib.MetricLogger(
+      jsonl_path=os.path.join(out_dir, "metrics.jsonl"),
+      tensorboard_dir=os.path.join(out_dir, "tb"))
+  loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
+  # NB: crop is disabled by default so the pixel grid matches eval exactly;
+  # enable AugmentConfig(crop=...) for regularization on small scenes.
+  batches = pipeline.batched(
+      load_fns, exp.batch_size, seed=exp.seed,
+      augment=pipeline.AugmentConfig(crop=None))
+  state = trainer.fit(loss_fn, params, batches,
+                      optimizer_cfg=exp.optimizer, loop_cfg=loop,
+                      mesh=mesh_lib.default_mesh(exp.batch_size),
+                      logger=logger)
+  logger.log_text(f"done at step {int(state.step)}; "
+                  f"coord normalization mean={mean.tolist()} std={std}")
+  return state
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,144 @@
+"""Generic jit-compiled, mesh-sharded trainer (SURVEY.md §3.1 hot loop,
+rebuilt TPU-first).
+
+Reference: per-step ``sess.run([train_op, ...])`` with Adam + exponential
+LR decay and ``tf.train.Saver`` checkpoints. Rebuild: one donated,
+jit-compiled ``train_step`` under a data mesh — params replicated, batch
+sharded on the leading axis, gradient psum inserted by GSPMD — plus orbax
+checkpointing with resume-by-step (SURVEY.md §5 failure-recovery row) and
+structured metric logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.utils import checkpoint as ckpt_lib
+from kfnet_tpu.utils import logging as log_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+  """Adam + exponential decay — the reference recipe (SURVEY.md §3.1)."""
+  learning_rate: float = 1e-4
+  decay_rate: float = 0.5
+  decay_steps: int = 100_000
+  staircase: bool = True
+  beta1: float = 0.9
+  beta2: float = 0.999
+  grad_clip_norm: float | None = 5.0
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+  schedule = optax.exponential_decay(
+      init_value=cfg.learning_rate, transition_steps=cfg.decay_steps,
+      decay_rate=cfg.decay_rate, staircase=cfg.staircase)
+  chain = []
+  if cfg.grad_clip_norm:
+    chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+  chain.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2))
+  return optax.chain(*chain)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+  step: jnp.ndarray
+  params: object
+  opt_state: object
+
+
+def create_state(params, optimizer) -> TrainState:
+  return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=optimizer.init(params))
+
+
+def make_train_step(loss_fn: Callable, optimizer) -> Callable:
+  """Returns jitted (state, batch) -> (state, metrics). State is donated;
+  under a mesh, GSPMD turns the batch-mean gradient into a psum over ICI."""
+
+  @partial(jax.jit, donate_argnums=(0,))
+  def train_step(state: TrainState, batch):
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, batch)
+    updates, opt_state = optimizer.update(
+        grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(step=state.step + 1, params=params,
+                      opt_state=opt_state), metrics
+
+  return train_step
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+  max_steps: int = 300_000
+  log_every: int = 100
+  checkpoint_every: int = 5000
+  checkpoint_dir: str | None = None
+  keep_checkpoints: int = 3
+
+
+def fit(loss_fn: Callable,
+        init_params,
+        batches: Iterator,
+        optimizer_cfg: OptimizerConfig = OptimizerConfig(),
+        loop_cfg: TrainLoopConfig = TrainLoopConfig(),
+        mesh=None,
+        logger: log_lib.MetricLogger | None = None):
+  """Run the training loop; resumes from the latest checkpoint if
+  loop_cfg.checkpoint_dir holds one. Returns the final TrainState.
+
+  Pass ``mesh`` (see parallel.mesh.default_mesh) to shard batches over
+  devices; with mesh=None everything runs on the default device."""
+  optimizer = make_optimizer(optimizer_cfg)
+  # copy: the jitted step donates its state, which would otherwise delete
+  # the caller's init_params buffers on the first step.
+  init_params = jax.tree_util.tree_map(
+      lambda x: jnp.array(x, copy=True), init_params)
+  state = create_state(init_params, optimizer)
+  logger = logger or log_lib.MetricLogger()
+
+  ckpt = None
+  if loop_cfg.checkpoint_dir:
+    ckpt = ckpt_lib.Checkpointer(
+        loop_cfg.checkpoint_dir, max_to_keep=loop_cfg.keep_checkpoints)
+    restored = ckpt.restore_latest(state)
+    if restored is not None:
+      state = restored
+      logger.log_text(f"resumed at step {int(state.step)}")
+
+  if mesh is not None:
+    state = mesh_lib.replicate_tree(mesh, state)
+
+  train_step = make_train_step(loss_fn, optimizer)
+  t0 = time.time()
+  start_step = int(state.step)
+  for batch in batches:
+    if int(state.step) >= loop_cfg.max_steps:
+      break
+    if mesh is not None:
+      batch = mesh_lib.shard_batch(mesh, batch)
+    state, metrics = train_step(state, batch)
+    step = int(state.step)
+    if step % loop_cfg.log_every == 0:
+      metrics = {k: float(v) for k, v in metrics.items()}
+      dt = time.time() - t0
+      sps = (step - start_step) / max(dt, 1e-9)
+      logger.log_metrics(step, {**metrics, "steps_per_sec": sps})
+    if ckpt and step % loop_cfg.checkpoint_every == 0:
+      ckpt.save(step, state)
+  if ckpt:
+    ckpt.save(int(state.step), state, force=True)
+    ckpt.wait()
+  return state

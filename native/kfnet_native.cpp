@@ -1,0 +1,257 @@
+// kfnet_native — native (C++) host runtime pieces for kfnet_tpu.
+//
+// The reference's native surface is third-party (TF runtime, OpenCV,
+// CPU image decoders — SURVEY.md §2.2 "Native components"). The TPU
+// rebuild keeps compute on XLA/Pallas; this library covers the host data
+// path, where Python/PIL is the bottleneck on thin data-loader hosts:
+//
+//   * kfn_png_info / kfn_png_decode — minimal PNG decoder (zlib inflate +
+//     scanline unfilter) for the 7/12-Scenes frame formats: 8-bit RGB/RGBA
+//     color and 16-bit grayscale depth. Non-interlaced only (all dataset
+//     files are).
+//   * kfn_depth_to_labels — fused decode + scene-coordinate label
+//     generation: 16-bit depth PNG bytes + intrinsics + camera-to-world
+//     pose -> strided (h, w, 3) world-coordinate map + validity mask, one
+//     pass, no intermediate full-res float image.
+//
+// Exposed as a plain C ABI consumed via ctypes (kfnet_tpu/data/native_io.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct PngInfo {
+  uint32_t width = 0, height = 0;
+  uint8_t bit_depth = 0, color_type = 0, interlace = 0;
+  bool ok = false;
+};
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+int channels_for(uint8_t color_type) {
+  switch (color_type) {
+    case 0: return 1;  // gray
+    case 2: return 3;  // rgb
+    case 4: return 2;  // gray+alpha
+    case 6: return 4;  // rgba
+    default: return 0; // palette unsupported
+  }
+}
+
+PngInfo parse_info(const uint8_t* buf, size_t len) {
+  PngInfo info;
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (len < 33 || std::memcmp(buf, sig, 8) != 0) return info;
+  // first chunk must be IHDR
+  if (std::memcmp(buf + 12, "IHDR", 4) != 0) return info;
+  info.width = be32(buf + 16);
+  info.height = be32(buf + 20);
+  info.bit_depth = buf[24];
+  info.color_type = buf[25];
+  info.interlace = buf[28];
+  info.ok = info.width && info.height && info.interlace == 0 &&
+            channels_for(info.color_type) > 0 &&
+            (info.bit_depth == 8 || info.bit_depth == 16);
+  return info;
+}
+
+// Collect and inflate all IDAT chunks.
+bool inflate_idat(const uint8_t* buf, size_t len, std::vector<uint8_t>& out,
+                  size_t expected) {
+  std::vector<uint8_t> compressed;
+  size_t pos = 8;
+  while (pos + 12 <= len) {
+    uint32_t clen = be32(buf + pos);
+    const uint8_t* type = buf + pos + 4;
+    const uint8_t* data = buf + pos + 8;
+    if (pos + 12 + clen > len) return false;
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      compressed.insert(compressed.end(), data, data + clen);
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + clen;
+  }
+  if (compressed.empty()) return false;
+  out.resize(expected);
+  uLongf dest_len = expected;
+  int rc = uncompress(out.data(), &dest_len, compressed.data(),
+                      compressed.size());
+  return rc == Z_OK && dest_len == expected;
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+// Unfilter in place into `pixels` (row-major, stride bytes per row).
+bool unfilter(std::vector<uint8_t>& raw, uint8_t* pixels, uint32_t height,
+              size_t row_bytes, int bpp) {
+  const uint8_t* src = raw.data();
+  for (uint32_t y = 0; y < height; ++y) {
+    uint8_t filter = src[y * (row_bytes + 1)];
+    const uint8_t* in = src + y * (row_bytes + 1) + 1;
+    uint8_t* cur = pixels + y * row_bytes;
+    const uint8_t* up = y ? pixels + (y - 1) * row_bytes : nullptr;
+    switch (filter) {
+      case 0:
+        std::memcpy(cur, in, row_bytes);
+        break;
+      case 1:
+        for (size_t x = 0; x < row_bytes; ++x)
+          cur[x] = in[x] + (x >= size_t(bpp) ? cur[x - bpp] : 0);
+        break;
+      case 2:
+        for (size_t x = 0; x < row_bytes; ++x)
+          cur[x] = in[x] + (up ? up[x] : 0);
+        break;
+      case 3:
+        for (size_t x = 0; x < row_bytes; ++x) {
+          int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          cur[x] = in[x] + uint8_t((a + b) / 2);
+        }
+        break;
+      case 4:
+        for (size_t x = 0; x < row_bytes; ++x) {
+          int a = x >= size_t(bpp) ? cur[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          int c = (up && x >= size_t(bpp)) ? up[x - bpp] : 0;
+          cur[x] = in[x] + uint8_t(paeth(a, b, c));
+        }
+        break;
+      default:
+        return false;
+    }
+  }
+  return true;
+}
+
+bool decode_png(const uint8_t* buf, size_t len, PngInfo& info,
+                std::vector<uint8_t>& pixels) {
+  info = parse_info(buf, len);
+  if (!info.ok) return false;
+  int ch = channels_for(info.color_type);
+  int bpp = ch * info.bit_depth / 8;
+  size_t row_bytes = size_t(info.width) * bpp;
+  size_t expected = (row_bytes + 1) * info.height;
+  std::vector<uint8_t> raw;
+  if (!inflate_idat(buf, len, raw, expected)) return false;
+  pixels.resize(row_bytes * info.height);
+  return unfilter(raw, pixels.data(), info.height, row_bytes, bpp);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query dims: returns 0 on success.
+int kfn_png_info(const uint8_t* buf, size_t len, int* width, int* height,
+                 int* channels, int* bit_depth) {
+  PngInfo info = parse_info(buf, len);
+  if (!info.ok) return -1;
+  *width = int(info.width);
+  *height = int(info.height);
+  *channels = channels_for(info.color_type);
+  *bit_depth = int(info.bit_depth);
+  return 0;
+}
+
+// Decode into caller buffer (size = w*h*channels elements).
+// 8-bit images write uint8; 16-bit write uint16 (native endian).
+int kfn_png_decode(const uint8_t* buf, size_t len, void* out) {
+  PngInfo info;
+  std::vector<uint8_t> pixels;
+  if (!decode_png(buf, len, info, pixels)) return -1;
+  int ch = channels_for(info.color_type);
+  size_t n = size_t(info.width) * info.height * ch;
+  if (info.bit_depth == 8) {
+    std::memcpy(out, pixels.data(), n);
+  } else {
+    uint16_t* o = static_cast<uint16_t*>(out);
+    for (size_t i = 0; i < n; ++i)  // PNG 16-bit is big-endian
+      o[i] = (uint16_t(pixels[2 * i]) << 8) | pixels[2 * i + 1];
+  }
+  return 0;
+}
+
+// Decode an 8-bit color PNG straight to float32 [0,1] RGB (HWC). Grayscale
+// broadcasts; alpha is dropped.
+int kfn_png_decode_rgb_f32(const uint8_t* buf, size_t len, float* out) {
+  PngInfo info;
+  std::vector<uint8_t> pixels;
+  if (!decode_png(buf, len, info, pixels)) return -1;
+  if (info.bit_depth != 8) return -2;
+  int ch = channels_for(info.color_type);
+  size_t npix = size_t(info.width) * info.height;
+  constexpr float kInv = 1.0f / 255.0f;
+  for (size_t i = 0; i < npix; ++i) {
+    const uint8_t* p = pixels.data() + i * ch;
+    float r, g, b;
+    if (ch >= 3) { r = p[0]; g = p[1]; b = p[2]; }
+    else { r = g = b = p[0]; }
+    out[3 * i + 0] = r * kInv;
+    out[3 * i + 1] = g * kInv;
+    out[3 * i + 2] = b * kInv;
+  }
+  return 0;
+}
+
+// Fused: 16-bit grayscale depth PNG bytes -> strided world-coordinate
+// labels. K is row-major 3x3; T_wc row-major 4x4 camera-to-world. Outputs:
+// coords (h/stride, w/stride, 3) float32, valid (h/stride, w/stride) uint8.
+// Returns 0 on success; fills out_h/out_w.
+int kfn_depth_to_labels(const uint8_t* buf, size_t len, const float* K,
+                        const float* T_wc, int stride, float depth_scale,
+                        float min_depth, float max_depth, uint16_t invalid_value,
+                        float* coords, uint8_t* valid, int* out_h, int* out_w) {
+  PngInfo info;
+  std::vector<uint8_t> pixels;
+  if (!decode_png(buf, len, info, pixels)) return -1;
+  if (info.bit_depth != 16 || channels_for(info.color_type) != 1) return -2;
+  int W = int(info.width), H = int(info.height);
+  int hs = H / stride, ws = W / stride;
+  *out_h = hs;
+  *out_w = ws;
+  int off = (stride - 1) / 2;  // matches core.geometry.cell_center_grid
+  float fx = K[0], cx = K[2], fy = K[4], cy = K[5];
+  const float* R = T_wc;  // rows of 4
+  for (int i = 0; i < hs; ++i) {
+    int v = i * stride + off;
+    for (int j = 0; j < ws; ++j) {
+      int u = j * stride + off;
+      size_t idx = size_t(v) * W + u;
+      uint16_t raw = (uint16_t(pixels[2 * idx]) << 8) | pixels[2 * idx + 1];
+      float d = (raw == invalid_value || raw == 0) ? 0.0f
+                                                   : float(raw) * depth_scale;
+      bool ok = d > min_depth && d < max_depth;
+      float* c = coords + (size_t(i) * ws + j) * 3;
+      if (!ok) {
+        c[0] = c[1] = c[2] = 0.0f;
+        valid[size_t(i) * ws + j] = 0;
+        continue;
+      }
+      float xc = (float(u) - cx) / fx * d;
+      float yc = (float(v) - cy) / fy * d;
+      float zc = d;
+      c[0] = R[0] * xc + R[1] * yc + R[2] * zc + R[3];
+      c[1] = R[4] * xc + R[5] * yc + R[6] * zc + R[7];
+      c[2] = R[8] * xc + R[9] * yc + R[10] * zc + R[11];
+      valid[size_t(i) * ws + j] = 1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,79 @@
+"""Multi-device DP tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 "Distributed"): pjit/GSPMD sharding of the train step and
+batched eval, without TPU hardware."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfnet_tpu.models import scoordnet
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.train import objectives, trainer
+from tests import tiny_configs as tc
+from tests.test_train import synth_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+  assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+  return mesh_lib.make_mesh(8)
+
+
+def test_batch_shards_over_mesh(mesh):
+  batch = synth_batch(n=8)
+  sharded = mesh_lib.shard_batch(mesh, batch)
+  shard_shapes = [s.data.shape for s in sharded["image"].addressable_shards]
+  assert len(shard_shapes) == 8
+  assert all(s[0] == 1 for s in shard_shapes)
+
+
+def test_dp_train_step_matches_single_device(mesh):
+  cfg = tc.tiny_scoordnet()
+  params = scoordnet.init(jax.random.key(0), cfg, tc.IMG)
+  batch = synth_batch(n=8, seed=1)
+  loss_fn = objectives.scoordnet_objective(cfg)
+  optimizer = trainer.make_optimizer(trainer.OptimizerConfig())
+  step_fn = trainer.make_train_step(loss_fn, optimizer)
+
+  # device_put-replication ALIASES the source buffer on its own device, so
+  # the donating train_step would delete it out from under the other run —
+  # give each run an independent deep copy of the params.
+  copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+  s1 = mesh_lib.replicate_tree(
+      mesh, trainer.create_state(copy(params), optimizer))
+  sb = mesh_lib.shard_batch(mesh, batch)
+
+  # single device
+  s0 = trainer.create_state(copy(params), optimizer)
+  s0, m0 = step_fn(s0, batch)
+
+  # 8-way DP
+  s1, m1 = step_fn(s1, sb)
+
+  np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                             rtol=1e-5)
+  l0 = jax.tree_util.tree_leaves(s0.params)
+  l1 = jax.tree_util.tree_leaves(s1.params)
+  for a, b in zip(l0, l1):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_multi_step_loss_decreases(mesh):
+  cfg = tc.tiny_scoordnet()
+  params = scoordnet.init(jax.random.key(1), cfg, tc.IMG)
+  batch = synth_batch(n=8, seed=2)
+  loss_fn = objectives.scoordnet_objective(cfg)
+
+  def batches(n):
+    for _ in range(n):
+      yield batch
+
+  l0, _ = loss_fn(params, batch)
+  state = trainer.fit(
+      loss_fn, params, batches(15),
+      optimizer_cfg=trainer.OptimizerConfig(learning_rate=3e-3),
+      loop_cfg=trainer.TrainLoopConfig(max_steps=15, log_every=1000),
+      mesh=mesh)
+  l1, _ = loss_fn(state.params, batch)
+  assert float(l1) < float(l0)

@@ -1,0 +1,96 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfnet_tpu.data import labels, synthetic
+from kfnet_tpu.models import kfnet, oflownet, scoordnet
+from kfnet_tpu.train import objectives, trainer
+from tests import tiny_configs as tc
+
+
+def synth_batch(n=4, seed=0, pairs=False):
+  seq = synthetic.make_sequence(n + 1, height=48, width=64, seed=seed)
+  coords, valid = jax.vmap(
+      lambda d, T: labels.generate(d, seq["K"], T, stride=8))(
+          seq["depths"], seq["poses"])
+  batch = {
+      "image": seq["images"][1:],
+      "coords": coords[1:],
+      "valid": valid[1:],
+  }
+  if pairs:
+    batch["image_prev"] = seq["images"][:-1]
+    batch["coords_prev"] = coords[:-1]
+    batch["valid_prev"] = valid[:-1]
+  return batch
+
+
+def repeat_batches(batch, steps):
+  for _ in range(steps):
+    yield batch
+
+
+def test_scoordnet_training_reduces_loss():
+  cfg = tc.tiny_scoordnet()
+  params = scoordnet.init(jax.random.key(0), cfg, tc.IMG)
+  batch = synth_batch()
+  loss_fn = objectives.scoordnet_objective(cfg)
+  l0, m0 = loss_fn(params, batch)
+  opt_cfg = trainer.OptimizerConfig(learning_rate=3e-3, grad_clip_norm=5.0)
+  loop = trainer.TrainLoopConfig(max_steps=30, log_every=1000)
+  state = trainer.fit(loss_fn, params, repeat_batches(batch, 30),
+                      optimizer_cfg=opt_cfg, loop_cfg=loop, mesh=None)
+  l1, m1 = loss_fn(state.params, batch)
+  assert float(l1) < float(l0) - 0.5, (float(l0), float(l1))
+  assert int(state.step) == 30
+
+
+def test_oflownet_objective_smoke():
+  cfg = tc.tiny_oflownet()
+  params = oflownet.init(jax.random.key(1), cfg, tc.IMG)
+  batch = synth_batch(pairs=True)
+  loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
+  (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      params, batch)
+  assert np.isfinite(float(loss))
+  assert float(metrics["supervised_frac"]) > 0.5
+  gnorm = float(jnp.sqrt(sum(
+      jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads))))
+  assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_kfnet_joint_objective_trains_both_subnets():
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(2), cfg, tc.IMG)
+  batch = synth_batch(pairs=True)
+  loss_fn = objectives.kfnet_objective(cfg)
+  (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      params, batch)
+  assert np.isfinite(float(loss))
+  for sub in ("scoordnet", "oflownet"):
+    g = float(jnp.sqrt(sum(
+        jnp.sum(x ** 2) for x in jax.tree_util.tree_leaves(grads[sub]))))
+    assert g > 0, f"no gradient into {sub}"
+
+
+def test_checkpoint_resume(tmp_path):
+  cfg = tc.tiny_scoordnet()
+  params = scoordnet.init(jax.random.key(3), cfg, tc.IMG)
+  batch = synth_batch(seed=4)
+  loss_fn = objectives.scoordnet_objective(cfg)
+  ckdir = str(tmp_path / "ck")
+  loop = trainer.TrainLoopConfig(max_steps=6, log_every=1000,
+                                 checkpoint_every=3, checkpoint_dir=ckdir)
+  s1 = trainer.fit(loss_fn, params, repeat_batches(batch, 6),
+                   loop_cfg=loop, mesh=None)
+  # resume: same dir, higher max_steps → continues from step 6
+  loop2 = trainer.TrainLoopConfig(max_steps=9, log_every=1000,
+                                  checkpoint_every=3, checkpoint_dir=ckdir)
+  s2 = trainer.fit(loss_fn, params, repeat_batches(batch, 9),
+                   loop_cfg=loop2, mesh=None)
+  assert int(s2.step) == 9
+  # the resumed run must not have restarted from scratch:
+  l1, _ = loss_fn(s1.params, batch)
+  l2, _ = loss_fn(s2.params, batch)
+  assert float(l2) <= float(l1) + 1e-3

@@ -1,0 +1,76 @@
+"""TPU-hardware tests: compiled Pallas kernel parity + kernel microbench.
+
+Run directly on a TPU host (NOT collected by the default CPU suite —
+tests/conftest.py forces the CPU backend; this directory has no such
+conftest):
+
+    python -m pytest tests_tpu/ -q
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfnet_tpu.utils.timing import sync
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs TPU")
+
+
+def make_inputs(seed=0, h=60, w=80, r=4):
+  rng = np.random.default_rng(seed)
+  x = jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+  P = jnp.asarray(rng.uniform(0.05, 2.0, (h, w, 1)).astype(np.float32))
+  flow = jnp.asarray(rng.uniform(-r, r, (h, w, 2)).astype(np.float32))
+  W = jnp.asarray(rng.uniform(0.01, 0.5, (h, w, 1)).astype(np.float32))
+  z = x + jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32)) * 0.3
+  V = jnp.asarray(rng.uniform(0.05, 2.0, (h, w, 1)).astype(np.float32))
+  return x, P, flow, W, z, V
+
+
+def test_fused_kernel_compiled_matches_xla():
+  from kfnet_tpu.core import kalman, warp
+  from kfnet_tpu.kernels import fused_filter
+
+  args = make_inputs()
+  x_pr, P_pr, _ = warp.warp_state_cov(*args[:4])
+  x_ref, P_ref, c_ref = kalman.kalman_update(x_pr, P_pr, *args[4:])
+  x_k, P_k, c_k = fused_filter.fused_warp_kalman(*args, radius=4)
+  np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref), atol=3e-5)
+  np.testing.assert_allclose(np.asarray(P_k), np.asarray(P_ref), rtol=3e-5,
+                             atol=1e-6)
+  np.testing.assert_array_equal(np.asarray(c_k), np.asarray(c_ref))
+
+
+def test_fused_kernel_faster_than_xla_composition():
+  from kfnet_tpu.core import kalman, warp
+  from kfnet_tpu.kernels import fused_filter
+
+  args = make_inputs()
+
+  @jax.jit
+  def xla_step(x, P, flow, W, z, V):
+    x_pr, P_pr, _ = warp.warp_state_cov(x, P, flow, W)
+    return kalman.kalman_update(x_pr, P_pr, z, V)
+
+  pallas_step = jax.jit(
+      lambda *a: fused_filter.fused_warp_kalman(*a, radius=4))
+
+  def bench(fn, reps=200):
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+      out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+  t_xla = bench(xla_step)
+  t_pl = bench(pallas_step)
+  print(f"xla {t_xla*1e6:.1f}us vs pallas {t_pl*1e6:.1f}us")
+  # regression guard: the fused kernel must not be slower than 1.5x XLA
+  # (it should be faster; tolerance for dispatch noise on tiny maps).
+  assert t_pl < 1.5 * t_xla, (t_pl, t_xla)
