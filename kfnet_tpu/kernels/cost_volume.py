@@ -41,7 +41,9 @@ def cost_volume(feat_prev: jnp.ndarray, feat_cur: jnp.ndarray,
   for dy in range(-r, r + 1):
     for dx in range(-r, r + 1):
       shifted = prev_p[..., dy + r:dy + r + h, dx + r:dx + r + w, :]
-      slabs.append(jnp.sum(feat_cur * shifted, axis=-1) * scale)
+      # accumulate the channel reduction in f32 (features may be bf16)
+      prod = (feat_cur * shifted).astype(jnp.float32)
+      slabs.append(jnp.sum(prod, axis=-1) * scale)
   return jnp.stack(slabs, axis=-1)
 
 

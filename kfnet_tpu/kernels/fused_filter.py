@@ -114,30 +114,8 @@ def _kernel(x_ref, P_ref, flow_ref, W_ref, z_ref, V_ref,
   cons_ref[0, :, :] = cons.astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("radius", "threshold", "invalid_cov",
-                              "interpret"))
-def fused_warp_kalman(x_prev: jnp.ndarray, P_prev: jnp.ndarray,
-                      flow: jnp.ndarray, W: jnp.ndarray,
-                      z: jnp.ndarray, V: jnp.ndarray,
-                      radius: int | None = None,
-                      threshold: float = 7.814728,
-                      invalid_cov: float = 1e8,
-                      interpret: bool = False):
-  """One fused filter inner step.
-
-  Args:
-    x_prev: (h, w, 3) previous posterior state.
-    P_prev: (h, w, 1) previous posterior covariance.
-    flow: (h, w, 2) backward flow (bounded by the search radius).
-    W: (h, w, 1) process noise; z: (h, w, 3) measurement; V: (h, w, 1).
-    radius: static flow bound; defaults to ceil(max OFlowNet radius) = 8.
-    interpret: run in Pallas interpret mode (CPU tests).
-
-  Returns:
-    (x_post (h,w,3), P_post (h,w,1), consistent (h,w,1) bool) — same
-    contract as core.kalman.kalman_update after core.warp.warp_state_cov.
-  """
+def _fused_call(x_prev, P_prev, flow, W, z, V, radius, threshold,
+                invalid_cov, interpret):
   h, w_, _ = x_prev.shape
   r = int(radius) if radius is not None else 8
   pad = r + 1
@@ -162,3 +140,72 @@ def fused_warp_kalman(x_prev: jnp.ndarray, P_prev: jnp.ndarray,
   )(to_cf(x_prev), to_cf(P_prev), to_cf(flow), to_cf(W), to_cf(z), to_cf(V))
   back = lambda a: jnp.transpose(a, (1, 2, 0))
   return back(xo), back(Po), back(cons) > 0.5
+
+
+def _xla_reference(x_prev, P_prev, flow, W, z, V, threshold, invalid_cov):
+  """The differentiable XLA composition with identical semantics."""
+  from kfnet_tpu.core import kalman, warp
+  x_pr, P_pr, _ = warp.warp_state_cov(x_prev, P_prev, flow, W,
+                                      invalid_cov=invalid_cov)
+  return kalman.kalman_update(x_pr, P_pr, z, V, threshold=threshold)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_diff(x_prev, P_prev, flow, W, z, V, radius, threshold,
+                invalid_cov, interpret):
+  return _fused_call(x_prev, P_prev, flow, W, z, V, radius, threshold,
+                     invalid_cov, interpret)
+
+
+def _fused_fwd(x_prev, P_prev, flow, W, z, V, radius, threshold,
+               invalid_cov, interpret):
+  out = _fused_call(x_prev, P_prev, flow, W, z, V, radius, threshold,
+                    invalid_cov, interpret)
+  return out, (x_prev, P_prev, flow, W, z, V)
+
+
+def _fused_bwd(radius, threshold, invalid_cov, interpret, residuals, g):
+  # Backward = VJP of the (rematerialized) XLA composition: the kernel is
+  # numerically pinned to it by the parity tests, so gradients are
+  # consistent; forward stays on the fast Pallas path.
+  x_prev, P_prev, flow, W, z, V = residuals
+  _, vjp = jax.vjp(
+      lambda *a: _xla_reference(*a, threshold=threshold,
+                                invalid_cov=invalid_cov)[:2],
+      x_prev, P_prev, flow, W, z, V)
+  return vjp((g[0], g[1]))  # g[2] (bool mask) has no cotangent
+
+
+_fused_diff.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "threshold", "invalid_cov",
+                              "interpret"))
+def fused_warp_kalman(x_prev: jnp.ndarray, P_prev: jnp.ndarray,
+                      flow: jnp.ndarray, W: jnp.ndarray,
+                      z: jnp.ndarray, V: jnp.ndarray,
+                      radius: int | None = None,
+                      threshold: float = 7.814728,
+                      invalid_cov: float = 1e8,
+                      interpret: bool = False):
+  """One fused filter inner step.
+
+  Args:
+    x_prev: (h, w, 3) previous posterior state.
+    P_prev: (h, w, 1) previous posterior covariance.
+    flow: (h, w, 2) backward flow (bounded by the search radius).
+    W: (h, w, 1) process noise; z: (h, w, 3) measurement; V: (h, w, 1).
+    radius: static flow bound; defaults to ceil(max OFlowNet radius) = 8.
+    interpret: run in Pallas interpret mode (CPU tests).
+
+  Returns:
+    (x_post (h,w,3), P_post (h,w,1), consistent (h,w,1) bool) — same
+    contract as core.kalman.kalman_update after core.warp.warp_state_cov.
+
+  Differentiable via custom VJP (backward rematerializes the XLA
+  composition), so joint fine-tuning may keep use_pallas=True.
+  """
+  r = int(radius) if radius is not None else 8
+  return _fused_diff(x_prev, P_prev, flow, W, z, V, r, float(threshold),
+                     float(invalid_cov), bool(interpret))

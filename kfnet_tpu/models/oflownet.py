@@ -116,7 +116,7 @@ def decode(params, config: OFlowNetConfig, cv: jnp.ndarray):
   f1 = dec["fuse1"].apply(params["fuse1"], jnp.concatenate([u1, d1], -1))
   u0 = _crop_to(dec["up0"].apply(params["up0"], f1), *e0.shape[-3:-1])
   f0 = dec["fuse0"].apply(params["fuse0"], jnp.concatenate([u0, e0], -1))
-  out = dec["head"].apply(params["head"], f0)
+  out = dec["head"].apply(params["head"], f0).astype(jnp.float32)
   flow = float(config.search_radius) * jnp.tanh(out[..., :2])
   log_var = jnp.clip(out[..., 2:3], LOG_VAR_MIN, LOG_VAR_MAX)
   return flow, jnp.exp(log_var)

@@ -86,7 +86,7 @@ def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
     variance: (..., H/8, W/8, 1) measurement-noise variance σ² (positive).
   """
   net = build(config)
-  out = net.apply(params, image)
+  out = net.apply(params, image).astype(jnp.float32)
   raw = out[..., :3]
   log_var = jnp.clip(out[..., 3:4], LOG_VAR_MIN, LOG_VAR_MAX)
   offset = jnp.asarray(config.coord_offset, jnp.float32)

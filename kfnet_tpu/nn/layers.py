@@ -88,6 +88,10 @@ def conv(out_ch: int,
     )
     if use_bias:
       y = y + params["b"]
+    # store activations in compute_dtype: f32 accumulation happens inside
+    # the conv; keeping the *stored* tensor bf16 halves HBM traffic, which
+    # dominates at these spatial sizes. (The cast fuses into the conv.)
+    y = y.astype(compute_dtype)
     return y.reshape(lead + y.shape[1:])
 
   return Layer(init, apply)
@@ -120,6 +124,7 @@ def conv_transpose(out_ch: int,
     )
     if use_bias:
       y = y + params["b"]
+    y = y.astype(compute_dtype)
     return y.reshape(lead + y.shape[1:])
 
   return Layer(init, apply)
@@ -145,22 +150,24 @@ def group_norm(groups: int = 32, eps: float = 1e-5) -> Layer:
     while c % g:
       g -= 1
     orig = x.shape
+    in_dtype = x.dtype
     xg = x.astype(jnp.float32).reshape(orig[:-1] + (g, c // g))
     red_axes = tuple(range(len(orig) - 3, len(orig) - 1)) + (len(orig),)
-    # normalize over (H, W, channels-within-group)
+    # stats in f32 (bf16 variance is garbage); output back in input dtype
     mean = jnp.mean(xg, axis=red_axes, keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=red_axes, keepdims=True)
     xn = (xg - mean) * lax.rsqrt(var + eps)
     xn = xn.reshape(orig)
-    return xn * params["scale"] + params["bias"]
+    return (xn * params["scale"] + params["bias"]).astype(in_dtype)
 
   return Layer(init, apply)
 
 
 def activation(fn: Callable) -> Layer:
+  # dtype-preserving: keeps bf16 chains bf16 (relu/elu are exact in bf16)
   return Layer(
       init=lambda key, in_shape: ({}, in_shape),
-      apply=lambda params, x: fn(x.astype(jnp.float32)),
+      apply=lambda params, x: fn(x),
   )
 
 
