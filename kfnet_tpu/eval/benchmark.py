@@ -58,12 +58,13 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   results["filter_ms_per_frame"] = 1e3 * t / frames
   results["filtered_fps"] = frames / t
 
-  # Serving mode: B independent sequences filtered in lockstep (vmap over
-  # the sequence axis) — amortizes per-step overhead and fills the MXU at
-  # small spatial sizes. Frames/sec/chip counts all B streams.
+  # Serving mode: B independent sequences filtered in lockstep (time-major
+  # batched scan) — amortizes per-step overhead and fills the MXU at small
+  # spatial sizes. Frames/sec/chip counts all B streams.
   B = 4
-  batch_seqs = jnp.broadcast_to(images, (B,) + images.shape)
-  runb = jax.jit(jax.vmap(lambda im: sequence.run_filter(params, cfg, im)[:2]))
+  batch_seqs = jnp.broadcast_to(images[:, None], images.shape[:1] + (B,) +
+                                images.shape[1:])
+  runb = jax.jit(lambda im: sequence.run_filter_batched(params, cfg, im))
   tb = bench_fn(runb, (batch_seqs,), reps=reps)
   results["filtered_fps_batch4"] = B * frames / tb
   return results

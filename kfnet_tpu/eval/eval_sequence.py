@@ -108,6 +108,30 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
   return result
 
 
+def coord_accuracy_report(coords: np.ndarray, gt_coords: np.ndarray,
+                          valid: np.ndarray,
+                          thresholds_m=(0.02, 0.05, 0.10)) -> dict:
+  """Per-sequence coordinate-map accuracy stats — the reference's
+  ``SCoordNet/eval.py`` per-image accuracy output (SURVEY.md §2.2 #5).
+
+  Args:
+    coords/gt_coords: (T, h, w, 3); valid: (T, h, w) bool.
+  """
+  err = np.linalg.norm(np.asarray(coords) - np.asarray(gt_coords), axis=-1)
+  v = np.asarray(valid).astype(bool)
+  errs = err[v]
+  out = {
+      "valid_pixels": int(v.sum()),
+      "mean_coord_err_m": float(errs.mean()) if errs.size else float("nan"),
+      "median_coord_err_m":
+          float(np.median(errs)) if errs.size else float("nan"),
+  }
+  for t in thresholds_m:
+    out[f"frac_within_{int(t*100)}cm"] = (
+        float((errs <= t).mean()) if errs.size else 0.0)
+  return out
+
+
 def write_report(path: str, reports: list[dict]):
   with open(path, "w") as f:
     json.dump({"scenes": reports}, f, indent=2)

@@ -79,6 +79,18 @@ def main(argv=None):
             os.path.join(args.dump_dir, seq_name, f"frame-{fr.index:06d}"),
             coords=res.coords[t], covariance=res.covariance[t],
             pose=res.poses[t])
+    if all("depth" in f for f in frames):
+      # coordinate-accuracy stats against depth+pose-derived GT maps
+      from kfnet_tpu.data import labels as labels_lib
+      gt_maps, gt_valid = jax.vmap(
+          lambda d, T: labels_lib.generate(
+              d, K, T, stride=exp.dataset.stride,
+              min_depth=exp.dataset.min_depth,
+              max_depth=exp.dataset.max_depth))(
+          jnp.asarray(np.stack([f["depth"] for f in frames])),
+          jnp.asarray(gt))
+      res.report.update(eval_sequence.coord_accuracy_report(
+          res.coords, np.asarray(gt_maps), np.asarray(gt_valid)))
     reports.append(res.report)
     print(json.dumps(res.report))
   if args.report:

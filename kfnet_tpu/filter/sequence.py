@@ -125,6 +125,36 @@ def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
         yield xs[i], Ps[i]
 
 
+def run_filter_batched(params, config: kfnet.KFNetConfig,
+                       images: jnp.ndarray):
+  """Serving mode: B independent sequences filtered in lockstep.
+
+  Args:
+    images: (T, B, H, W, 3) — time-major, so each scan step consumes a
+    contiguous (B, H, W, 3) slab (a vmap over a time-major ``run_filter``
+    would instead gather a strided [:, t] slice per step, which measured
+    ~6x slower end-to-end).
+
+  Returns:
+    xs (T, B, h, w, 3), Ps (T, B, h, w, 1).
+  """
+  first = jax.vmap(lambda im: kfnet.first_step(params, config, im))
+  step = jax.vmap(
+      lambda x, P, f, im: kfnet.filter_step(params, config, x, P, f, im)[:3])
+
+  x0, P0, feat0 = first(images[0])
+
+  def body(c, im):
+    x, P, feat = c
+    x1, P1, feat1 = step(x, P, feat, im)
+    return (x1, P1, feat1), (x1, P1)
+
+  _, (xs, Ps) = jax.lax.scan(body, (x0, P0, feat0), images[1:])
+  xs = jnp.concatenate([x0[None], xs], axis=0)
+  Ps = jnp.concatenate([P0[None], Ps], axis=0)
+  return xs, Ps
+
+
 def run_filter_python_loop(params, config: kfnet.KFNetConfig,
                            images: jnp.ndarray):
   """Reference-shaped python loop (one step per frame, like the TF1

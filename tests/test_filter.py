@@ -54,6 +54,22 @@ def test_resume_carry_matches_unbroken():
       atol=1e-5)
 
 
+def test_batched_filter_matches_per_sequence():
+  cfg, params, _ = _setup()
+  imgs_a = tc.random_images(4, seed=11)
+  imgs_b = tc.random_images(4, seed=12)
+  xs_a, Ps_a, _ = sequence.run_filter(params, cfg, imgs_a)
+  xs_b, Ps_b, _ = sequence.run_filter(params, cfg, imgs_b)
+  batch = jnp.stack([imgs_a, imgs_b], axis=1)  # (T, B, H, W, 3)
+  xs, Ps = sequence.run_filter_batched(params, cfg, batch)
+  np.testing.assert_allclose(np.asarray(xs[:, 0]), np.asarray(xs_a),
+                             atol=2e-5)
+  np.testing.assert_allclose(np.asarray(xs[:, 1]), np.asarray(xs_b),
+                             atol=2e-5)
+  np.testing.assert_allclose(np.asarray(Ps[:, 0]), np.asarray(Ps_a),
+                             atol=1e-5)
+
+
 def test_filter_reduces_noise_toy():
   # With a static scene (identical frames) and zero flow the filter must
   # shrink posterior variance monotonically vs the per-frame measurement.
