@@ -34,6 +34,7 @@ class OFlowNetConfig:
   search_radius: int = 4
   unet_channels: Sequence[int] = (128, 128, 256)  # enc0, down1, down2
   compute_dtype: str = "bfloat16"
+  norm: str = "group"  # "group" | "none"
 
   @property
   def dtype(self):
@@ -46,7 +47,7 @@ class OFlowNetConfig:
 
 def _encoder(config: OFlowNetConfig) -> L.Layer:
   return L.serial(*[
-      L.conv_block(c, 3, s, compute_dtype=config.dtype)
+      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
       for c, s in zip(config.encoder_channels, config.encoder_strides)
   ])
 
@@ -54,17 +55,18 @@ def _encoder(config: OFlowNetConfig) -> L.Layer:
 def _decoder_layers(config: OFlowNetConfig):
   c0, c1, c2 = config.unet_channels
   dt = config.dtype
+  nm = config.norm
   return {
-      "enc0": L.serial(L.conv_block(c0, 3, 1, compute_dtype=dt),
-                       L.conv_block(c0, 3, 1, compute_dtype=dt)),
-      "down1": L.serial(L.conv_block(c1, 3, 2, compute_dtype=dt),
-                        L.conv_block(c1, 3, 1, compute_dtype=dt)),
-      "down2": L.serial(L.conv_block(c2, 3, 2, compute_dtype=dt),
-                        L.conv_block(c2, 3, 1, compute_dtype=dt)),
+      "enc0": L.serial(L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt),
+                       L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt)),
+      "down1": L.serial(L.conv_block(c1, 3, 2, norm=nm, compute_dtype=dt),
+                        L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt)),
+      "down2": L.serial(L.conv_block(c2, 3, 2, norm=nm, compute_dtype=dt),
+                        L.conv_block(c2, 3, 1, norm=nm, compute_dtype=dt)),
       "up1": L.conv_transpose(c1, 4, 2, compute_dtype=dt),
-      "fuse1": L.conv_block(c1, 3, 1, compute_dtype=dt),
+      "fuse1": L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt),
       "up0": L.conv_transpose(c0, 4, 2, compute_dtype=dt),
-      "fuse0": L.conv_block(c0, 3, 1, compute_dtype=dt),
+      "fuse0": L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt),
       "head": L.conv(3, 3, 1, use_bias=True, compute_dtype=dt),
   }
 

@@ -41,6 +41,7 @@ class SCoordNetConfig:
   coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
   coord_scale: float = 1.0
   compute_dtype: str = "bfloat16"
+  norm: str = "group"  # "group" | "none" (none ≈ reference, ~1.7x faster)
 
   @property
   def dtype(self):
@@ -57,11 +58,12 @@ class SCoordNetConfig:
 def build(config: SCoordNetConfig) -> L.Layer:
   """Trunk + 4-channel head as a single serial Layer."""
   blocks = [
-      L.conv_block(c, 3, s, compute_dtype=config.dtype)
+      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
       for c, s in zip(config.channels, config.strides)
   ]
   head = [
-      L.conv_block(config.head_channels, 3, 1, compute_dtype=config.dtype),
+      L.conv_block(config.head_channels, 3, 1, norm=config.norm,
+                   compute_dtype=config.dtype),
       L.conv(4, 1, 1, use_bias=True, compute_dtype=config.dtype),
   ]
   return L.serial(*blocks, *head)

@@ -95,6 +95,49 @@ class JointLossWeights:
   prior: float = 0.5
 
 
+def kfnet_window_objective(config: kfnet.KFNetConfig,
+                           weights: JointLossWeights = JointLossWeights()):
+  """Sequence-unrolled joint fine-tune: the filter runs over a T-frame
+  window inside lax.scan with gradients through time (BPTT), posterior
+  NLL summed over frames 1..T-1. Generalizes the 2-frame objective —
+  matches the reference's filtering fine-tune on short windows
+  (SURVEY.md §3.5 "2-frame (or short) windows").
+
+  batch: images (B, T, H, W, 3), coords (B, T, h, w, 3), valid (B, T, h, w).
+  """
+  assert not config.use_pallas or True  # custom VJP makes pallas trainable
+
+  def loss_fn(params, batch):
+    def single(images, coords_gt, valid):
+      x0, P0, feat0 = kfnet.first_step(params, config, images[0])
+
+      def body(c, inp):
+        img, gt, v = inp
+        x, P, feat = c
+        x1, P1, feat1, aux = kfnet.filter_step(params, config, x, P, feat,
+                                               img)
+        l_post = nll.gaussian_nll(x1, gt, P1, v)
+        l_meas = nll.gaussian_nll(aux["z"], gt, aux["V"], v)
+        err = nll.l2_coord_error(x1, gt, v)
+        return (x1, P1, feat1), (l_post, l_meas, err)
+
+      _, (l_post, l_meas, err) = jax.lax.scan(
+          body, (x0, P0, feat0), (images[1:], coords_gt[1:], valid[1:]))
+      l0 = nll.gaussian_nll(x0, coords_gt[0], P0, valid[0])
+      return (jnp.mean(l_post), jnp.mean(l_meas) + l0 / images.shape[0],
+              jnp.mean(err))
+
+    l_post, l_meas, err = jax.vmap(single)(
+        batch["images"], batch["coords"], batch["valid"])
+    loss = (weights.posterior * jnp.mean(l_post) +
+            weights.measurement * jnp.mean(l_meas))
+    return loss, {"loss": loss, "posterior_nll": jnp.mean(l_post),
+                  "measurement_nll": jnp.mean(l_meas),
+                  "coord_err_m": jnp.mean(err)}
+
+  return loss_fn
+
+
 def kfnet_objective(config: kfnet.KFNetConfig,
                     weights: JointLossWeights = JointLossWeights()):
   """Joint fine-tune on 2-frame windows (SURVEY.md §3.5): the t-1

@@ -74,6 +74,23 @@ def test_kfnet_joint_objective_trains_both_subnets():
     assert g > 0, f"no gradient into {sub}"
 
 
+def test_kfnet_window_objective_bptt():
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(9), cfg, tc.IMG)
+  seq = synth_batch(n=4, seed=7, pairs=False)
+  batch = {"images": seq["image"][None],          # (1, 4, H, W, 3)
+           "coords": seq["coords"][None],
+           "valid": seq["valid"][None]}
+  loss_fn = objectives.kfnet_window_objective(cfg)
+  (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      params, batch)
+  assert np.isfinite(float(loss))
+  for sub in ("scoordnet", "oflownet"):
+    g = float(jnp.sqrt(sum(
+        jnp.sum(x ** 2) for x in jax.tree_util.tree_leaves(grads[sub]))))
+    assert np.isfinite(g) and g > 0, f"no BPTT gradient into {sub}"
+
+
 def test_checkpoint_resume(tmp_path):
   cfg = tc.tiny_scoordnet()
   params = scoordnet.init(jax.random.key(3), cfg, tc.IMG)
