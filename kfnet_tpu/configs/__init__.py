@@ -4,8 +4,6 @@ ExperimentConfig ready for the train/eval scripts."""
 
 from __future__ import annotations
 
-import dataclasses
-
 from kfnet_tpu.data.seven_scenes import SEVEN_SCENES
 from kfnet_tpu.data.twelve_scenes import TWELVE_SCENES
 from kfnet_tpu.train.trainer import OptimizerConfig, TrainLoopConfig

@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-from kfnet_tpu.data.seven_scenes import Frame, SceneSplit, read_color
+from kfnet_tpu.data.seven_scenes import Frame, SceneSplit
 
 CAMBRIDGE_SCENES = ("KingsCollege", "OldHospital", "ShopFacade",
                     "StMarysChurch", "GreatCourt", "Street")

@@ -32,7 +32,6 @@ tests/test_pallas_fused.py), including out-of-bounds → invalid_cov and the
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

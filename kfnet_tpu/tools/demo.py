@@ -11,11 +11,9 @@ fps). Finishes in ~2 minutes on a TPU chip, ~10 on CPU.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from kfnet_tpu.data import labels, synthetic
@@ -28,10 +26,11 @@ from kfnet_tpu.train import objectives, trainer
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--steps", type=int, default=1500)
+  p.add_argument("--oflownet_steps", type=int, default=1000)
   p.add_argument("--height", type=int, default=96)
   p.add_argument("--width", type=int, default=128)
   p.add_argument("--train_frames", type=int, default=48)
-  p.add_argument("--test_frames", type=int, default=16)
+  p.add_argument("--test_frames", type=int, default=48)
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--save", default="", help="save trained params here")
   args = p.parse_args(argv)
@@ -43,7 +42,10 @@ def main(argv=None):
   K = train["K"]
   test_poses = synthetic.orbit_trajectory(args.test_frames, seed=99)
   render = jax.jit(lambda T: synthetic.render(scene, T, K, H, W))
-  test_imgs, _ = jax.vmap(render)(test_poses)
+  test_imgs, test_depths = jax.vmap(render)(test_poses)
+  test_coords, test_valid = jax.vmap(
+      lambda d, T: labels.generate(d, K, T, stride=8))(
+          test_depths, test_poses)
 
   coords, valid = jax.vmap(
       lambda d, T: labels.generate(d, K, T, stride=8))(
@@ -71,19 +73,43 @@ def main(argv=None):
   of_cfg = oflownet.OFlowNetConfig(
       encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
       search_radius=2, unet_channels=(16, 16, 32), compute_dtype="float32")
-  cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
-  params = {"scoordnet": state.params,
-            "oflownet": oflownet.init(jax.random.key(1), of_cfg, (H, W, 3))}
+  of_params = oflownet.init(jax.random.key(1), of_cfg, (H, W, 3))
 
-  rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=128)
+  if args.oflownet_steps > 0:
+    # stage 2: process system on consecutive pairs of the training video
+    of_loss = objectives.oflownet_objective(of_cfg, flow_reg_weight=0.01)
+    of_opt = trainer.make_optimizer(
+        trainer.OptimizerConfig(learning_rate=args.learning_rate))
+    of_step = trainer.make_train_step(of_loss, of_opt)
+    of_state = trainer.create_state(of_params, of_opt)
+    pair_all = {
+        "image_prev": train["images"][:-1], "image": train["images"][1:],
+        "coords_prev": coords[:-1], "valid_prev": valid[:-1],
+        "coords": coords[1:], "valid": valid[1:]}
+    for step in range(1, args.oflownet_steps + 1):
+      idx = rng.integers(0, args.train_frames - 1, size=8)
+      of_state, m = of_step(of_state,
+                            {k: v[idx] for k, v in pair_all.items()})
+      if step % 500 == 0:
+        print(f"oflownet step {step}: warp_err="
+              f"{float(m['warp_err_m']):.4f} m "
+              f"supervised={float(m['supervised_frac']):.2f}")
+    of_params = of_state.params
+
+  cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
+  params = {"scoordnet": state.params, "oflownet": of_params}
+
+  rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
   res_m = eval_sequence.evaluate_measurement_only(
       params, cfg, test_imgs, K, gt_poses=np.asarray(test_poses),
       scene="synthetic(measurement-only)", ransac_config=rcfg)
   res_f = eval_sequence.evaluate_sequence(
       params, cfg, test_imgs, K, gt_poses=np.asarray(test_poses),
       scene="synthetic(filtered)", ransac_config=rcfg)
-  print(json.dumps(res_m.report, indent=2))
-  print(json.dumps(res_f.report, indent=2))
+  for res in (res_m, res_f):
+    res.report.update(eval_sequence.coord_accuracy_report(
+        res.coords, np.asarray(test_coords), np.asarray(test_valid)))
+    print(json.dumps(res.report, indent=2))
   if args.save:
     from kfnet_tpu.utils import checkpoint as ckpt_lib
     ckpt_lib.save_params(args.save, params)

@@ -80,7 +80,7 @@ def make_train_step(loss_fn: Callable, optimizer) -> Callable:
   return train_step
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class TrainLoopConfig:
   max_steps: int = 300_000
   log_every: int = 100

@@ -16,7 +16,7 @@ from kfnet_tpu.models import kfnet, oflownet, scoordnet
 from kfnet_tpu.train.trainer import OptimizerConfig, TrainLoopConfig
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class DatasetPreset:
   name: str
   intrinsics: tuple  # (fx, fy, cx, cy) at working resolution
