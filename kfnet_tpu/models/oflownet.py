@@ -67,7 +67,8 @@ def _decoder_layers(config: OFlowNetConfig):
       "fuse1": L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt),
       "up0": L.conv_transpose(c0, 4, 2, compute_dtype=dt),
       "fuse0": L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt),
-      "head": L.conv(3, 3, 1, use_bias=True, compute_dtype=dt),
+      # f32 head: flow/log-variance need better than bf16 resolution
+      "head": L.conv(3, 3, 1, use_bias=True, compute_dtype=jnp.float32),
   }
 
 

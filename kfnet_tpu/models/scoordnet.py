@@ -64,7 +64,9 @@ def build(config: SCoordNetConfig) -> L.Layer:
   head = [
       L.conv_block(config.head_channels, 3, 1, norm=config.norm,
                    compute_dtype=config.dtype),
-      L.conv(4, 1, 1, use_bias=True, compute_dtype=config.dtype),
+      # final 1x1 head in f32: coordinate/log-variance outputs need more
+      # than bf16's ~3 significant digits (cheap — 512->4 at 1/8 res).
+      L.conv(4, 1, 1, use_bias=True, compute_dtype=jnp.float32),
   ]
   return L.serial(*blocks, *head)
 

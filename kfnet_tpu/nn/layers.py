@@ -77,6 +77,11 @@ def conv(out_ch: int,
 
   def apply(params, x):
     xb, lead = _as_batched(x)
+    # NOTE: no preferred_element_type here — XLA:TPU's MXU accumulates
+    # bf16 matmuls in f32 internally regardless, and requesting an f32
+    # OUTPUT from bf16 inputs breaks conv's gradient rule (the transpose
+    # conv then mixes f32 cotangents with bf16 weights). Output rounds to
+    # compute_dtype, which is also what we store.
     y = lax.conv_general_dilated(
         xb.astype(compute_dtype),
         params["w"].astype(compute_dtype),
@@ -84,14 +89,9 @@ def conv(out_ch: int,
         padding=padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if use_bias:
-      y = y + params["b"]
-    # store activations in compute_dtype: f32 accumulation happens inside
-    # the conv; keeping the *stored* tensor bf16 halves HBM traffic, which
-    # dominates at these spatial sizes. (The cast fuses into the conv.)
-    y = y.astype(compute_dtype)
+      y = (y.astype(jnp.float32) + params["b"]).astype(compute_dtype)
     return y.reshape(lead + y.shape[1:])
 
   return Layer(init, apply)
@@ -120,11 +120,9 @@ def conv_transpose(out_ch: int,
         strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if use_bias:
-      y = y + params["b"]
-    y = y.astype(compute_dtype)
+      y = (y.astype(jnp.float32) + params["b"]).astype(compute_dtype)
     return y.reshape(lead + y.shape[1:])
 
   return Layer(init, apply)

@@ -23,6 +23,51 @@ from kfnet_tpu.pose import ransac
 from kfnet_tpu.train import objectives, trainer
 
 
+def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
+                  batch: int = 8, chunk: int = 250, seed: int = 0,
+                  tag: str = ""):
+  """Dispatch-efficient training: the whole (tiny) dataset lives on
+  device; each jit call runs ``chunk`` steps via lax.scan, gathering its
+  minibatches with on-device jnp.take — one host round trip per chunk
+  instead of per step (the tunnel costs ~5-10 ms per dispatch)."""
+  import jax.numpy as jnp
+  from functools import partial
+
+  opt = trainer.make_optimizer(trainer.OptimizerConfig(learning_rate=lr))
+  state = trainer.create_state(params, opt)
+  data = jax.device_put(data)
+  n = next(iter(data.values())).shape[0]
+
+  def one_step(s, idx):
+    b = jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), data)
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(s.params, b)
+    updates, opt_state = opt.update(grads, s.opt_state, s.params)
+    import optax
+    new_params = optax.apply_updates(s.params, updates)
+    return trainer.TrainState(step=s.step + 1, params=new_params,
+                              opt_state=opt_state), metrics
+
+  @partial(jax.jit, donate_argnums=(0,))
+  def run_chunk(s, idxs):
+    s, ms = jax.lax.scan(one_step, s, idxs)
+    return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+  rng = np.random.default_rng(seed)
+  done = 0
+  m = {}
+  while done < steps:
+    k = min(chunk, steps - done)
+    idxs = jnp.asarray(rng.integers(0, n, size=(chunk, batch)))
+    state, m = run_chunk(state, idxs)  # fixed chunk shape: one compile
+    done += k
+    print(f"{tag} step {done}: " + " ".join(
+        f"{key}={float(val):.4f}" for key, val in sorted(m.items())
+        if key in ("coord_err_m", "warp_err_m", "loss", "supervised_frac")),
+        flush=True)
+  return state, m
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--steps", type=int, default=1500)
@@ -58,17 +103,9 @@ def main(argv=None):
       coord_offset=tuple(map(float, mean)), coord_scale=float(std))
   params_sc = scoordnet.init(jax.random.key(0), sc_cfg, (H, W, 3))
   loss_fn = objectives.scoordnet_objective(sc_cfg)
-  opt = trainer.make_optimizer(
-      trainer.OptimizerConfig(learning_rate=args.learning_rate))
-  step_fn = trainer.make_train_step(loss_fn, opt)
-  state = trainer.create_state(params_sc, opt)
-  rng = np.random.default_rng(0)
   batch_all = {"image": train["images"], "coords": coords, "valid": valid}
-  for step in range(1, args.steps + 1):
-    idx = rng.integers(0, args.train_frames, size=8)
-    state, m = step_fn(state, {k: v[idx] for k, v in batch_all.items()})
-    if step % 500 == 0:
-      print(f"step {step}: coord_err={float(m['coord_err_m']):.4f} m")
+  state, m = fit_on_device(loss_fn, params_sc, batch_all, args.steps,
+                           args.learning_rate, tag="scoordnet")
 
   of_cfg = oflownet.OFlowNetConfig(
       encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
@@ -78,22 +115,13 @@ def main(argv=None):
   if args.oflownet_steps > 0:
     # stage 2: process system on consecutive pairs of the training video
     of_loss = objectives.oflownet_objective(of_cfg, flow_reg_weight=0.01)
-    of_opt = trainer.make_optimizer(
-        trainer.OptimizerConfig(learning_rate=args.learning_rate))
-    of_step = trainer.make_train_step(of_loss, of_opt)
-    of_state = trainer.create_state(of_params, of_opt)
     pair_all = {
         "image_prev": train["images"][:-1], "image": train["images"][1:],
         "coords_prev": coords[:-1], "valid_prev": valid[:-1],
         "coords": coords[1:], "valid": valid[1:]}
-    for step in range(1, args.oflownet_steps + 1):
-      idx = rng.integers(0, args.train_frames - 1, size=8)
-      of_state, m = of_step(of_state,
-                            {k: v[idx] for k, v in pair_all.items()})
-      if step % 500 == 0:
-        print(f"oflownet step {step}: warp_err="
-              f"{float(m['warp_err_m']):.4f} m "
-              f"supervised={float(m['supervised_frac']):.2f}")
+    of_state, _ = fit_on_device(of_loss, of_params, pair_all,
+                                args.oflownet_steps, args.learning_rate,
+                                tag="oflownet", seed=1)
     of_params = of_state.params
 
   cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)

@@ -1,0 +1,102 @@
+"""TF1 → JAX weight import (SURVEY.md §5 checkpoint row: "TF1→JAX
+weight-name mapping table for parity runs against released ckpts").
+
+The reference ships TF1 checkpoints (per-scene SCoordNet, per-dataset
+OFlowNet — SURVEY.md §2.2 #13). TF1 conv kernels are already HWIO (same
+as ours), so importing is pure name mapping + shape checking, no
+transposes. The mount was empty this round, so the concrete variable
+names below are the caffe-tensorflow convention this codebase family uses
+(``<scope>/<layer>/weights`` / ``biases``) and are marked PROVISIONAL —
+verify against the real checkpoint reader when available; the mechanism
+(``import_flat``) is exact and fully tested either way.
+
+Usage:
+    flat = np.load("tf1_ckpt_as_npz.npz")        # name -> np.ndarray
+    params = import_flat(flat, mapping, params_template)
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+
+
+def flatten_pytree_paths(tree, prefix=()):
+  """Yield (path tuple, leaf) for dict/list pytrees (our param trees)."""
+  if isinstance(tree, dict):
+    for k in sorted(tree):
+      yield from flatten_pytree_paths(tree[k], prefix + (k,))
+  elif isinstance(tree, (list, tuple)):
+    for i, v in enumerate(tree):
+      yield from flatten_pytree_paths(v, prefix + (i,))
+  else:
+    yield prefix, tree
+
+
+def set_in_pytree(tree, path, value):
+  node = tree
+  for k in path[:-1]:
+    node = node[k]
+  node[path[-1]] = value
+
+
+def scoordnet_mapping(num_blocks: int = 14) -> dict:
+  """PROVISIONAL name map: TF1 variable name -> our param path.
+
+  Our SCoordNet params are ``[block_0, ..., block_{n-1}, head_block,
+  head_conv]`` with each conv block = [conv, (norm), act] sublists.
+  The reference trunk convs are expected at ``scoordnet/convN/weights``.
+  """
+  mapping = {}
+  for i in range(num_blocks):
+    mapping[f"scoordnet/conv{i+1}/weights"] = (i, 0, "w")
+    mapping[f"scoordnet/conv{i+1}/biases"] = (i, 0, "b")
+  mapping["scoordnet/head/weights"] = (num_blocks, 0, "w")
+  mapping["scoordnet/head/biases"] = (num_blocks, 0, "b")
+  mapping["scoordnet/output/weights"] = (num_blocks + 1, "w")
+  mapping["scoordnet/output/biases"] = (num_blocks + 1, "b")
+  return mapping
+
+
+def import_flat(flat: Mapping[str, np.ndarray], mapping: Mapping[str, tuple],
+                template, strict: bool = True):
+  """Copy TF1 variables into (a deep copy of) our param pytree.
+
+  Args:
+    flat: TF1 variable name -> array.
+    mapping: TF1 name -> path tuple into the pytree.
+    template: our params pytree (shapes define the contract).
+    strict: raise on missing names or shape mismatches.
+
+  Returns:
+    new params pytree with mapped leaves replaced.
+  """
+  import copy
+  out = copy.deepcopy(
+      {"params": template})["params"] if isinstance(template, dict) else (
+          copy.deepcopy(template))
+  imported, missing, mismatched = [], [], []
+  for name, path in mapping.items():
+    if name not in flat:
+      missing.append(name)
+      continue
+    src = np.asarray(flat[name])
+    node = out
+    try:
+      for k in path[:-1]:
+        node = node[k]
+      dst = node[path[-1]]
+    except (KeyError, IndexError, TypeError):
+      missing.append(f"{name} -> {path} (no such path)")
+      continue
+    if tuple(dst.shape) != tuple(src.shape):
+      mismatched.append(f"{name}: ckpt {src.shape} vs model {dst.shape}")
+      continue
+    node[path[-1]] = src.astype(np.asarray(dst).dtype)
+    imported.append(name)
+  if strict and (missing or mismatched):
+    raise ValueError(
+        f"TF1 import failed: missing={missing} mismatched={mismatched}")
+  return out, {"imported": imported, "missing": missing,
+               "mismatched": mismatched}

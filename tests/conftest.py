@@ -21,3 +21,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+if os.environ.get("KFNET_DEBUG_NANS"):
+  # SURVEY.md §5 sanitizer row: nan-checking CI mode
+  jax.config.update("jax_debug_nans", True)

@@ -117,6 +117,34 @@ def test_pipeline_propagates_worker_errors():
     list(pipeline.batched([boom], batch_size=1, epochs=1, to_device=False))
 
 
+def test_twelve_scenes_loader_jpg(tmp_path):
+  """12-Scenes layout: nested scene dir, JPEG color, same frame triplets."""
+  from PIL import Image
+  from kfnet_tpu.data import twelve_scenes as s12
+  rng = np.random.default_rng(0)
+  sdir = os.path.join(str(tmp_path), "apt1", "kitchen", "seq-01")
+  os.makedirs(sdir)
+  with open(os.path.join(str(tmp_path), "apt1", "kitchen",
+                         "TrainSplit.txt"), "w") as f:
+    f.write("sequence1\n")
+  with open(os.path.join(str(tmp_path), "apt1", "kitchen",
+                         "TestSplit.txt"), "w") as f:
+    f.write("sequence1\n")
+  for i in range(2):
+    img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+    Image.fromarray(img).save(os.path.join(sdir, f"frame-{i:06d}.color.jpg"))
+    d = rng.integers(500, 4000, (48, 64)).astype(np.uint16)
+    Image.fromarray(d, mode="I;16").save(
+        os.path.join(sdir, f"frame-{i:06d}.depth.png"))
+    np.savetxt(os.path.join(sdir, f"frame-{i:06d}.pose.txt"), np.eye(4))
+  split = s12.load_split(str(tmp_path), "apt1/kitchen", "train")
+  assert len(split.frames) == 2
+  assert split.intrinsics[0, 0] == 572.0
+  fr = s12.load_frame(split.frames[0])
+  assert fr["image"].shape == (48, 64, 3)
+  assert fr["depth"].shape == (48, 64)
+
+
 def test_cambridge_pose_parsing(tmp_path):
   from kfnet_tpu.data import cambridge
   scene_dir = tmp_path / "KingsCollege"

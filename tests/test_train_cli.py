@@ -1,0 +1,45 @@
+"""Smoke test of the per-scene training CLI (reference: SCoordNet/train.py
+surface) on a fake on-disk scene: flags → loaders → scene stats → DP
+trainer → orbax checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_fake_7scenes
+
+
+@pytest.mark.slow
+def test_train_scoordnet_cli(tmp_path):
+  from kfnet_tpu.train import train_scoordnet
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=6)
+  model_dir = str(tmp_path / "models")
+  state = train_scoordnet.main([
+      "--input_folder", root, "--scene", "chess",
+      "--model_folder", model_dir,
+      "--batch_size", "2", "--max_steps", "3",
+      "--learning_rate", "1e-4",
+  ])
+  assert int(state.step) == 3
+  out_dir = os.path.join(model_dir, "scoordnet_chess")
+  assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+  # a checkpoint was written at the end
+  from kfnet_tpu.utils.checkpoint import Checkpointer
+  ck = Checkpointer(out_dir)
+  assert ck.latest_step() == 3
+
+
+@pytest.mark.slow
+def test_train_oflownet_cli(tmp_path):
+  from kfnet_tpu.train import train_oflownet
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=6)
+  model_dir = str(tmp_path / "models")
+  state = train_oflownet.main([
+      "--input_folder", root, "--scenes", "chess",
+      "--model_folder", model_dir,
+      "--batch_size", "2", "--max_steps", "2",
+  ])
+  assert int(state.step) == 2
