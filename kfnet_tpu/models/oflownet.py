@@ -35,6 +35,7 @@ class OFlowNetConfig:
   unet_channels: Sequence[int] = (128, 128, 256)  # enc0, down1, down2
   compute_dtype: str = "bfloat16"
   norm: str = "group"  # "group" | "none"
+  stem_s2d: int = 2  # space-to-depth stem (see scoordnet.py); 1 = off
 
   @property
   def dtype(self):
@@ -46,9 +47,20 @@ class OFlowNetConfig:
 
 
 def _encoder(config: OFlowNetConfig) -> L.Layer:
-  return L.serial(*[
+  strides = list(config.encoder_strides)
+  stem = []
+  if config.stem_s2d > 1:
+    stem.append(L.space_to_depth(config.stem_s2d))
+    to_drop = {2: 1, 4: 2, 8: 3}[config.stem_s2d]
+    for i in range(len(strides) - 1, -1, -1):
+      if to_drop == 0:
+        break
+      if strides[i] == 2:
+        strides[i] = 1
+        to_drop -= 1
+  return L.serial(*stem, *[
       L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
-      for c, s in zip(config.encoder_channels, config.encoder_strides)
+      for c, s in zip(config.encoder_channels, strides)
   ])
 
 

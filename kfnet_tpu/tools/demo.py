@@ -72,6 +72,7 @@ def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--steps", type=int, default=1500)
   p.add_argument("--oflownet_steps", type=int, default=1000)
+  p.add_argument("--joint_steps", type=int, default=0)
   p.add_argument("--height", type=int, default=96)
   p.add_argument("--width", type=int, default=128)
   p.add_argument("--train_frames", type=int, default=48)
@@ -126,6 +127,17 @@ def main(argv=None):
 
   cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
   params = {"scoordnet": state.params, "oflownet": of_params}
+
+  if args.joint_steps > 0:
+    # stage 3: joint filtering fine-tune (posterior NLL through both nets)
+    joint_loss = objectives.kfnet_objective(cfg)
+    pair_all = {
+        "image_prev": train["images"][:-1], "image": train["images"][1:],
+        "coords": coords[1:], "valid": valid[1:]}
+    joint_state, _ = fit_on_device(
+        joint_loss, params, pair_all, args.joint_steps,
+        args.learning_rate * 0.1, batch=4, tag="joint", seed=2)
+    params = joint_state.params
 
   rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
   res_m = eval_sequence.evaluate_measurement_only(
