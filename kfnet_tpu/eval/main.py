@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kfnet_tpu.data import seven_scenes as s7
+
 from kfnet_tpu.eval import eval_sequence
 from kfnet_tpu.train.train_kfnet import load_pretrained
 from kfnet_tpu.utils import config as config_lib
@@ -51,12 +51,17 @@ def main(argv=None):
     import dataclasses
     cfg = dataclasses.replace(cfg, use_pallas=True)
 
-  split = s7.load_split(exp.input_folder, exp.scene, "test",
-                        intrinsics=exp.dataset.intrinsics)
+  from kfnet_tpu.data import registry
+  adapter = registry.get(exp.dataset.name)
+  if adapter.name == "cambridge":
+    split = adapter.load_split(exp.input_folder, exp.scene, "test")
+  else:
+    split = adapter.load_split(exp.input_folder, exp.scene, "test",
+                               intrinsics=exp.dataset.intrinsics)
   K = jnp.asarray(split.intrinsics)
   reports = []
-  for i, seq_frames in enumerate(s7.iter_sequences(split)):
-    frames = [s7.load_frame(fr) for fr in seq_frames]
+  for i, seq_frames in enumerate(adapter.iter_sequences(split)):
+    frames = [adapter.load_frame_with_split(split, fr) for fr in seq_frames]
     images = jnp.asarray(np.stack([f["image"] for f in frames]))
     gt = np.stack([f["pose"] for f in frames])
     fn = (eval_sequence.evaluate_measurement_only if args.measurement_only

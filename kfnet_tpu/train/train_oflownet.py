@@ -29,16 +29,21 @@ from kfnet_tpu.utils import logging as log_lib
 def make_pair_loaders(exp: config_lib.ExperimentConfig, scenes: list[str],
                       frame_gap: int = 1):
   """Consecutive-frame pair examples across all requested scenes."""
+  from kfnet_tpu.data import registry
+  adapter = registry.get(exp.dataset.name)
   load_fns = []
   for scene in scenes:
-    split = s7.load_split(exp.input_folder, scene, "train",
-                          intrinsics=exp.dataset.intrinsics)
+    if adapter.name == "cambridge":
+      split = adapter.load_split(exp.input_folder, scene, "train")
+    else:
+      split = adapter.load_split(exp.input_folder, scene, "train",
+                                 intrinsics=exp.dataset.intrinsics)
     K = split.intrinsics
     stride = exp.dataset.stride
 
-    def load_pair(fr_prev, fr_cur, K=K, stride=stride):
-      a = s7.load_frame(fr_prev)
-      b = s7.load_frame(fr_cur)
+    def load_pair(fr_prev, fr_cur, K=K, stride=stride, split=split):
+      a = adapter.load_frame_with_split(split, fr_prev)
+      b = adapter.load_frame_with_split(split, fr_cur)
       ca, va = labels.generate(np.asarray(a["depth"]), K, a["pose"],
                                stride=stride,
                                min_depth=exp.dataset.min_depth,
@@ -51,7 +56,7 @@ def make_pair_loaders(exp: config_lib.ExperimentConfig, scenes: list[str],
               "coords_prev": np.asarray(ca), "valid_prev": np.asarray(va),
               "coords": np.asarray(cb), "valid": np.asarray(vb)}
 
-    for seq_frames in s7.iter_sequences(split):
+    for seq_frames in adapter.iter_sequences(split):
       for i in range(len(seq_frames) - frame_gap):
         load_fns.append(functools.partial(
             load_pair, seq_frames[i], seq_frames[i + frame_gap]))

@@ -31,13 +31,18 @@ from kfnet_tpu.utils import logging as log_lib
 
 def make_scene_loader(exp: config_lib.ExperimentConfig):
   """Returns (load_fns, scene_stats) for per-frame SCoordNet examples."""
-  split = s7.load_split(exp.input_folder, exp.scene, "train",
-                        intrinsics=exp.dataset.intrinsics)
+  from kfnet_tpu.data import registry
+  adapter = registry.get(exp.dataset.name)
+  if adapter.name == "cambridge":
+    split = adapter.load_split(exp.input_folder, exp.scene, "train")
+  else:
+    split = adapter.load_split(exp.input_folder, exp.scene, "train",
+                               intrinsics=exp.dataset.intrinsics)
   K = split.intrinsics
   stride = exp.dataset.stride
 
   def load(frame):
-    ex = s7.load_frame(frame)
+    ex = adapter.load_frame_with_split(split, frame)
     return {"image": ex["image"], "depth": ex["depth"], "pose": ex["pose"]}
 
   # Pass 1 (subsampled): scene coordinate statistics for normalization.

@@ -44,6 +44,9 @@ def set_in_pytree(tree, path, value):
 def scoordnet_mapping(num_blocks: int = 14) -> dict:
   """PROVISIONAL name map: TF1 variable name -> our param path.
 
+  Assumes the reference-parity architecture: ``norm="none"`` (biased
+  convs) and ``stem_s2d=1`` (plain conv stem, so block i is param index i).
+
   Our SCoordNet params are ``[block_0, ..., block_{n-1}, head_block,
   head_conv]`` with each conv block = [conv, (norm), act] sublists.
   The reference trunk convs are expected at ``scoordnet/convN/weights``.

@@ -31,9 +31,13 @@ def xla_reference(x, P, flow, W, z, V, thr=kalman.CHI2_3DOF_P05,
   return kalman.kalman_update(x_pr, P_pr, z, V, threshold=thr)
 
 
-@pytest.mark.parametrize("seed,oob", [(0, False), (1, True), (2, True)])
-def test_fused_matches_xla(seed, oob):
-  args = make_inputs(seed=seed, oob=oob)
+@pytest.mark.parametrize("seed,oob,h,w", [
+    (0, False, 12, 16),
+    (1, True, 12, 16),
+    (2, True, 17, 23),   # odd, non-tile-aligned map (Cambridge-like)
+])
+def test_fused_matches_xla(seed, oob, h, w):
+  args = make_inputs(seed=seed, oob=oob, h=h, w=w)
   x_ref, P_ref, c_ref = xla_reference(*args)
   x_k, P_k, c_k = fused_filter.fused_warp_kalman(
       *args, radius=3, interpret=True)

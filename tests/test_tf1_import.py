@@ -9,9 +9,10 @@ from tests import tiny_configs as tc
 
 def tiny_noname_cfg():
   import dataclasses
-  # parity imports target the reference architecture: no norm layer, so
-  # every conv has a bias — matching scoordnet_mapping's name table.
-  return dataclasses.replace(tc.tiny_scoordnet(), norm="none")
+  # parity imports target the reference architecture: no norm layer (so
+  # every conv has a bias) and a plain conv stem (stem_s2d=1), matching
+  # scoordnet_mapping's name table and block indexing.
+  return dataclasses.replace(tc.tiny_scoordnet(), norm="none", stem_s2d=1)
 
 
 def test_import_flat_roundtrip():

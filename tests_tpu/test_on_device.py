@@ -31,11 +31,12 @@ def make_inputs(seed=0, h=60, w=80, r=4):
   return x, P, flow, W, z, V
 
 
-def test_fused_kernel_compiled_matches_xla():
+@pytest.mark.parametrize("h,w", [(60, 80), (34, 60), (17, 23)])
+def test_fused_kernel_compiled_matches_xla(h, w):
   from kfnet_tpu.core import kalman, warp
   from kfnet_tpu.kernels import fused_filter
 
-  args = make_inputs()
+  args = make_inputs(h=h, w=w)
   x_pr, P_pr, _ = warp.warp_state_cov(*args[:4])
   x_ref, P_ref, c_ref = kalman.kalman_update(x_pr, P_pr, *args[4:])
   x_k, P_k, c_k = fused_filter.fused_warp_kalman(*args, radius=4)
