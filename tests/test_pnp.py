@@ -120,6 +120,31 @@ def test_ransac_matches_opencv_oracle():
   assert float(geo.translation_error(out["T_wc"], jnp.asarray(T_cv))) < 0.08
 
 
+def test_ransac_degenerate_few_valid_points():
+  """Fewer valid correspondences than a minimal set: must not crash or
+  return NaNs (garbage pose + ~zero inliers is the contract)."""
+  rng = np.random.default_rng(7)
+  uv, X, T_wc, K = synth_scene(rng, n=64)
+  valid = np.zeros(64, bool)
+  valid[:4] = True  # < sample_size(6)
+  cfg = ransac.RansacConfig(num_hypotheses=16, top_k=32)
+  out = ransac.solve_pnp_ransac(
+      uv, X, jnp.ones((64,)), jnp.asarray(valid), K, jax.random.key(4), cfg)
+  assert bool(jnp.isfinite(out["T_wc"]).all())
+  assert float(out["inlier_ratio"]) <= 1.0
+
+
+def test_ransac_all_invalid():
+  rng = np.random.default_rng(8)
+  uv, X, T_wc, K = synth_scene(rng, n=32)
+  cfg = ransac.RansacConfig(num_hypotheses=8, top_k=16)
+  out = ransac.solve_pnp_ransac(
+      uv, X, jnp.ones((32,)), jnp.zeros((32,), bool), K,
+      jax.random.key(5), cfg)
+  assert bool(jnp.isfinite(out["T_wc"]).all())
+  assert float(out["num_inliers"]) == 0.0
+
+
 def test_solve_from_maps_shapes():
   rng = np.random.default_rng(6)
   h, w, stride = 6, 8, 8
