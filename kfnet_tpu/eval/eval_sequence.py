@@ -108,6 +108,62 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
   return result
 
 
+def evaluate_sequence_streaming(params, config: kfnet.KFNetConfig,
+                                frame_source, K: jnp.ndarray,
+                                gt_poses: np.ndarray | None = None,
+                                scene: str = "",
+                                ransac_config=ransac.RansacConfig(),
+                                stride: int = 8,
+                                chunk_size: int = 32,
+                                rng: jax.Array | None = None) -> EvalResult:
+  """Memory-bounded eval for arbitrarily long sequences: frames stream
+  from the host through the chunked scan (O(chunk) HBM — SURVEY.md §5
+  long-context row); poses solve per chunk. Timing includes host
+  transfer, so fps here is a streaming number, not the kernel number.
+  """
+  rng = rng if rng is not None else jax.random.key(0)
+  solve = jax.jit(jax.vmap(
+      lambda c, P, k: ransac.solve_pnp_from_maps(
+          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
+          config=ransac_config)))
+  xs_all, Ps_all, poses = [], [], []
+  t0 = time.perf_counter()
+  buf_x, buf_P = [], []
+
+  def flush():
+    if not buf_x:
+      return
+    xs = jnp.stack(buf_x)
+    Ps = jnp.stack(buf_P)
+    keys = jax.random.split(jax.random.fold_in(rng, len(poses)),
+                            xs.shape[0])
+    out = solve(xs, Ps, keys)
+    poses.extend(np.asarray(out["T_wc"]))
+    xs_all.append(np.asarray(xs))
+    Ps_all.append(np.asarray(Ps))
+    buf_x.clear()
+    buf_P.clear()
+
+  from kfnet_tpu.filter import sequence as seq_lib
+  for x, P in seq_lib.run_filter_chunked(params, config, frame_source,
+                                         chunk_size=chunk_size):
+    buf_x.append(x)
+    buf_P.append(P)
+    if len(buf_x) == chunk_size:
+      flush()
+  flush()
+  dt = time.perf_counter() - t0
+  poses = np.stack(poses)
+  result = EvalResult(
+      poses=poses, coords=np.concatenate(xs_all),
+      covariance=np.concatenate(Ps_all),
+      frames_per_sec=poses.shape[0] / dt)
+  if gt_poses is not None:
+    result.report = pose_metrics.report(scene, poses, np.asarray(gt_poses))
+    result.report["frames_per_sec"] = result.frames_per_sec
+  return result
+
+
 def coord_accuracy_report(coords: np.ndarray, gt_coords: np.ndarray,
                           valid: np.ndarray,
                           thresholds_m=(0.02, 0.05, 0.10)) -> dict:

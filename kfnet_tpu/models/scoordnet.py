@@ -35,8 +35,8 @@ class SCoordNetConfig:
   times so the output lands at 1/8 resolution (paper Fig. 3).
   """
   channels: Sequence[int] = (64, 64, 128, 128, 256, 256,
-                             512, 512, 512, 512, 512, 512, 512, 512)
-  strides: Sequence[int] = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1)
+                             512, 512, 512, 512, 512, 512, 512, 512, 512)
+  strides: Sequence[int] = (1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1)
   head_channels: int = 512
   coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
   coord_scale: float = 1.0
