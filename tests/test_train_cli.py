@@ -43,3 +43,22 @@ def test_train_oflownet_cli(tmp_path):
       "--batch_size", "2", "--max_steps", "2",
   ])
   assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_train_oflownet_multiscene_dp(tmp_path):
+  """BASELINE.json config 5: multi-scene data-parallel training — pairs
+  drawn across scenes, batch sharded over the full 8-device mesh."""
+  from kfnet_tpu.train import train_oflownet
+
+  root = str(tmp_path / "data")
+  make_fake_7scenes(root, scene="chess", n=5)
+  make_fake_7scenes(root, scene="fire", n=5)
+  model_dir = str(tmp_path / "models")
+  state = train_oflownet.main([
+      "--input_folder", root, "--scenes", "chess,fire",
+      "--model_folder", model_dir,
+      "--batch_size", "8",  # divisible by 8 devices -> full-mesh DP
+      "--max_steps", "2",
+  ])
+  assert int(state.step) == 2
