@@ -236,6 +236,9 @@ def space_to_depth(factor: int = 2) -> Layer:
     return {}, (h // factor, w // factor, c * factor * factor)
 
   def apply(params, x):
+    # reshape-transpose-reshape form: measured FASTER than f² strided
+    # slices + concat (348 vs 228 fps end-to-end — lane-strided reads
+    # force worse relayouts than one blocked transpose).
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     f = factor
