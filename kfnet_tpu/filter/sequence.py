@@ -35,6 +35,7 @@ def run_filter(params, config: kfnet.KFNetConfig, images: jnp.ndarray,
     (xs, Ps): (T, h, w, 3), (T, h, w, 1) per-frame posteriors,
     final carry, and (optionally) stacked aux dict for frames 1..T-1.
   """
+  images = kfnet.preprocess_images(config, images)  # hoisted s2d stem
   if carry is None:
     x0, P0, feat0 = kfnet.first_step(params, config, images[0])
     rest = images[1:]
@@ -138,6 +139,7 @@ def run_filter_batched(params, config: kfnet.KFNetConfig,
   Returns:
     xs (T, B, h, w, 3), Ps (T, B, h, w, 1).
   """
+  images = kfnet.preprocess_images(config, images)  # hoisted s2d stem
   first = jax.vmap(lambda im: kfnet.first_step(params, config, im))
   step = jax.vmap(
       lambda x, P, f, im: kfnet.filter_step(params, config, x, P, f, im)[:3])

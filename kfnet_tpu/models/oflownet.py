@@ -47,18 +47,9 @@ class OFlowNetConfig:
 
 
 def _encoder(config: OFlowNetConfig) -> L.Layer:
-  strides = list(config.encoder_strides)
-  stem = []
-  if config.stem_s2d > 1:
-    stem.append(L.space_to_depth(config.stem_s2d))
-    to_drop = {2: 1, 4: 2, 8: 3}[config.stem_s2d]
-    for i in range(len(strides) - 1, -1, -1):
-      if to_drop == 0:
-        break
-      if strides[i] == 2:
-        strides[i] = 1
-        to_drop -= 1
-  return L.serial(*stem, *[
+  from kfnet_tpu.models.scoordnet import _adjusted_strides
+  strides = _adjusted_strides(config.encoder_strides, config.stem_s2d)
+  return L.serial(*[
       L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
       for c, s in zip(config.encoder_channels, strides)
   ])
@@ -88,6 +79,10 @@ def init(key: jax.Array, config: OFlowNetConfig,
          image_shape: Tuple[int, int, int] = (480, 640, 3)):
   k_enc, *ks = jax.random.split(key, 9)
   enc = _encoder(config)
+  f = config.stem_s2d
+  if f > 1:
+    h, w, c = image_shape
+    image_shape = (h // f, w // f, c * f * f)
   enc_params, feat_shape = enc.init(k_enc, image_shape)
   h, w, _ = feat_shape
   dec = _decoder_layers(config)
@@ -113,7 +108,9 @@ def init(key: jax.Array, config: OFlowNetConfig,
 
 
 def encode(params, config: OFlowNetConfig, image: jnp.ndarray) -> jnp.ndarray:
-  """Shared encoder: (..., H, W, 3) -> (..., H/8, W/8, C)."""
+  """Shared encoder: (..., H, W, 3) [or pre-s2d form] -> (..., H/8, W/8, C)."""
+  from kfnet_tpu.models.scoordnet import maybe_space_to_depth
+  image = maybe_space_to_depth(config, image)
   return _encoder(config).apply(params["encoder"], image)
 
 

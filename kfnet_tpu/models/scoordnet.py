@@ -61,21 +61,28 @@ class SCoordNetConfig:
     return s
 
 
-def build(config: SCoordNetConfig) -> L.Layer:
-  """Trunk + 4-channel head as a single serial Layer."""
-  strides = list(config.strides)
-  stem = []
-  if config.stem_s2d > 1:
-    stem.append(L.space_to_depth(config.stem_s2d))
-    # drop trailing stride-2 layers until total stride still hits /8.
-    to_drop = {2: 1, 4: 2, 8: 3}[config.stem_s2d]
+def _adjusted_strides(strides, stem_s2d):
+  """Drop trailing stride-2 layers so stem_s2d × conv strides still = 8."""
+  strides = list(strides)
+  if stem_s2d > 1:
+    to_drop = {2: 1, 4: 2, 8: 3}[stem_s2d]
     for i in range(len(strides) - 1, -1, -1):
       if to_drop == 0:
         break
       if strides[i] == 2:
         strides[i] = 1
         to_drop -= 1
-  blocks = stem + [
+  return strides
+
+
+def build(config: SCoordNetConfig) -> L.Layer:
+  """Trunk + 4-channel head as a single serial Layer.
+
+  NOTE: the space-to-depth stem is applied in ``apply`` (outside this
+  serial), so callers may pre-transform whole sequences once instead of
+  per frame (filter/sequence.py hoists it out of the scan)."""
+  strides = _adjusted_strides(config.strides, config.stem_s2d)
+  blocks = [
       L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
       for c, s in zip(config.channels, strides)
   ]
@@ -89,9 +96,23 @@ def build(config: SCoordNetConfig) -> L.Layer:
   return L.serial(*blocks, *head)
 
 
+def maybe_space_to_depth(config, image: jnp.ndarray) -> jnp.ndarray:
+  """Apply the s2d stem unless the input is already transformed (callers
+  like filter/sequence pre-transform whole sequences once; the 12-channel
+  input is unambiguous vs raw RGB)."""
+  f = config.stem_s2d
+  if f > 1 and image.shape[-1] == 3:
+    return L.space_to_depth(f).apply({}, image)
+  return image
+
+
 def init(key: jax.Array, config: SCoordNetConfig,
          image_shape: Tuple[int, int, int] = (480, 640, 3)):
   net = build(config)
+  f = config.stem_s2d
+  if f > 1:
+    h, w, c = image_shape
+    image_shape = (h // f, w // f, c * f * f)
   params, out_shape = net.init(key, image_shape)
   assert out_shape[-1] == 4
   return params
@@ -101,12 +122,14 @@ def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
   """Forward pass.
 
   Args:
-    image: (..., H, W, 3) in [0, 1] (the pipeline normalizes to zero-mean).
+    image: (..., H, W, 3) in [0, 1], or the pre-space-to-depth'd
+      (..., H/f, W/f, 3f²) form.
 
   Returns:
     coords: (..., H/8, W/8, 3) world coordinates.
     variance: (..., H/8, W/8, 1) measurement-noise variance σ² (positive).
   """
+  image = maybe_space_to_depth(config, image)
   net = build(config)
   out = net.apply(params, image).astype(jnp.float32)
   raw = out[..., :3]

@@ -23,7 +23,9 @@ def test_streaming_eval_matches_batch_eval():
       scene="s", ransac_config=rcfg, chunk_size=3, rng=jax.random.key(0))
   assert res_s.coords.shape == res_b.coords.shape
   # filter outputs identical (PnP rngs differ, so poses may not be)
+  # chunked vs one-shot scans compile differently: last-ulp tolerance
   np.testing.assert_allclose(res_s.coords, res_b.coords, atol=2e-5)
-  np.testing.assert_allclose(res_s.covariance, res_b.covariance, atol=1e-5)
+  np.testing.assert_allclose(res_s.covariance, res_b.covariance,
+                             rtol=1e-5, atol=2e-5)
   assert res_s.poses.shape == (7, 4, 4)
   assert np.isfinite(res_s.report["median_translation_m"])
