@@ -31,6 +31,9 @@ def main():
   from kfnet_tpu.models import kfnet
 
   on_tpu = jax.default_backend() == "tpu"
+  # NB: conv_impl stays "xla" — the Pallas conv wins standalone (+21%)
+  # but loses end-to-end because it breaks XLA's GN/elementwise fusion
+  # into conv epilogues (measured 379 vs 414 fps). See docs/DESIGN.md.
   cfg = kfnet.KFNetConfig(use_pallas=on_tpu)
   if not on_tpu:
     # CPU fallback (dev machines): tiny shapes so the bench still runs.

@@ -36,6 +36,7 @@ class OFlowNetConfig:
   compute_dtype: str = "bfloat16"
   norm: str = "group"  # "group" | "none"
   stem_s2d: int = 2  # space-to-depth stem (see scoordnet.py); 1 = off
+  conv_impl: str = "xla"  # "xla" | "pallas_3x3" (see scoordnet.py)
 
   @property
   def dtype(self):
@@ -50,7 +51,8 @@ def _encoder(config: OFlowNetConfig) -> L.Layer:
   from kfnet_tpu.models.scoordnet import _adjusted_strides
   strides = _adjusted_strides(config.encoder_strides, config.stem_s2d)
   return L.serial(*[
-      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
+      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype,
+                   impl=config.conv_impl)
       for c, s in zip(config.encoder_channels, strides)
   ])
 
@@ -59,17 +61,21 @@ def _decoder_layers(config: OFlowNetConfig):
   c0, c1, c2 = config.unet_channels
   dt = config.dtype
   nm = config.norm
+  im = config.conv_impl
   return {
-      "enc0": L.serial(L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt),
-                       L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt)),
-      "down1": L.serial(L.conv_block(c1, 3, 2, norm=nm, compute_dtype=dt),
-                        L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt)),
-      "down2": L.serial(L.conv_block(c2, 3, 2, norm=nm, compute_dtype=dt),
-                        L.conv_block(c2, 3, 1, norm=nm, compute_dtype=dt)),
+      "enc0": L.serial(
+          L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt, impl=im),
+          L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt, impl=im)),
+      "down1": L.serial(
+          L.conv_block(c1, 3, 2, norm=nm, compute_dtype=dt, impl=im),
+          L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt, impl=im)),
+      "down2": L.serial(
+          L.conv_block(c2, 3, 2, norm=nm, compute_dtype=dt, impl=im),
+          L.conv_block(c2, 3, 1, norm=nm, compute_dtype=dt, impl=im)),
       "up1": L.conv_transpose(c1, 4, 2, compute_dtype=dt),
-      "fuse1": L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt),
+      "fuse1": L.conv_block(c1, 3, 1, norm=nm, compute_dtype=dt, impl=im),
       "up0": L.conv_transpose(c0, 4, 2, compute_dtype=dt),
-      "fuse0": L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt),
+      "fuse0": L.conv_block(c0, 3, 1, norm=nm, compute_dtype=dt, impl=im),
       # f32 head: flow/log-variance need better than bf16 resolution
       "head": L.conv(3, 3, 1, use_bias=True, compute_dtype=jnp.float32),
   }

@@ -48,6 +48,9 @@ class SCoordNetConfig:
   # the C=3 full-res conv's layout-copy overhead: measured 293 -> 340 fps
   # on the full filter. Default on (TPU-first stem; same param count).
   stem_s2d: int = 2
+  # "xla" (differentiable; training) | "pallas_3x3" (inference fast path
+  # for the VMEM-resident 1/8-res trunk convs; ~21% faster than XLA)
+  conv_impl: str = "xla"
 
   @property
   def dtype(self):
@@ -83,12 +86,13 @@ def build(config: SCoordNetConfig) -> L.Layer:
   per frame (filter/sequence.py hoists it out of the scan)."""
   strides = _adjusted_strides(config.strides, config.stem_s2d)
   blocks = [
-      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype)
+      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype,
+                   impl=config.conv_impl)
       for c, s in zip(config.channels, strides)
   ]
   head = [
       L.conv_block(config.head_channels, 3, 1, norm=config.norm,
-                   compute_dtype=config.dtype),
+                   compute_dtype=config.dtype, impl=config.conv_impl),
       # final 1x1 head in f32: coordinate/log-variance outputs need more
       # than bf16's ~3 significant digits (cheap — 512->4 at 1/8 res).
       L.conv(4, 1, 1, use_bias=True, compute_dtype=jnp.float32),

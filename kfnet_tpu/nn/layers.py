@@ -53,14 +53,35 @@ def _as_batched(x):
   return xb, lead
 
 
+def _pallas_conv_eligible(h, w, cin, cout, kernel, stride, dilation,
+                          padding):
+  """The Pallas 3x3 kernel applies to SAME stride-1 convs whose working
+  set fits VMEM (the 1/8-res trunk layers — measured ~21% faster than
+  XLA's conv there)."""
+  if not (kernel == 3 and stride == 1 and dilation == 1
+          and padding == "SAME"):
+    return False
+  if cin % 128 or cout % 128:
+    return False
+  pad_bytes = (h + 2) * (w + 2) * cin * 2
+  acc_bytes = h * w * 128 * 4
+  x_bytes = h * w * cin * 2
+  return pad_bytes + acc_bytes + x_bytes < 11 * 1024 * 1024
+
+
 def conv(out_ch: int,
          kernel: int = 3,
          stride: int = 1,
          dilation: int = 1,
          padding: str = "SAME",
          use_bias: bool = True,
-         compute_dtype=jnp.bfloat16) -> Layer:
-  """2D convolution, NHWC/HWIO, fp32 params, bf16 MXU compute."""
+         compute_dtype=jnp.bfloat16,
+         impl: str = "xla") -> Layer:
+  """2D convolution, NHWC/HWIO, fp32 params, bf16 MXU compute.
+
+  impl: "xla" (default; differentiable — training uses this) or
+  "pallas_3x3" (inference fast path; falls back to XLA when the layer
+  shape is ineligible — see _pallas_conv_eligible)."""
 
   def init(key, in_shape):
     h, w, c = in_shape
@@ -76,6 +97,14 @@ def conv(out_ch: int,
     return params, (oh, ow, out_ch)
 
   def apply(params, x):
+    if (impl == "pallas_3x3" and x.ndim == 3
+        and _pallas_conv_eligible(x.shape[0], x.shape[1], x.shape[2],
+                                  out_ch, kernel, stride, dilation,
+                                  padding)):
+      from kfnet_tpu.kernels.conv3x3 import conv3x3_same
+      return conv3x3_same(
+          x, params["w"], params.get("b"), relu=False,
+          out_dtype=compute_dtype)
     xb, lead = _as_batched(x)
     # NOTE: no preferred_element_type here — XLA:TPU's MXU accumulates
     # bf16 matmuls in f32 internally regardless, and requesting an f32
@@ -285,7 +314,7 @@ def serial(*layers: Layer) -> Layer:
 
 def conv_block(out_ch: int, kernel: int = 3, stride: int = 1,
                norm: bool | str = True, act: bool = True,
-               compute_dtype=jnp.bfloat16) -> Layer:
+               compute_dtype=jnp.bfloat16, impl: str = "xla") -> Layer:
   """conv [+ norm] [+ ReLU] — the reference's standard unit.
 
   norm: "group" / True → GroupNorm; "none" / False → plain conv+bias (the
@@ -295,7 +324,7 @@ def conv_block(out_ch: int, kernel: int = 3, stride: int = 1,
   """
   use_norm = norm is True or norm == "group"
   ls = [conv(out_ch, kernel, stride, use_bias=not use_norm,
-             compute_dtype=compute_dtype)]
+             compute_dtype=compute_dtype, impl=impl)]
   if use_norm:
     ls.append(group_norm())
   if act:
