@@ -49,6 +49,138 @@ def _kernel(x_ref, w_ref, b_ref, y_ref, xpad_ref, acc_ref, *,
   y_ref[:, :, :] = out.reshape(h, w, ct).astype(y_ref.dtype)
 
 
+def _fused_kernel(x_ref, scale_ref, shift_ref, w_ref, y_ref, s1_ref,
+                  s2_ref, xpad_ref, acc_ref, *,
+                  h: int, w: int, cin_tile: int, n_cin: int,
+                  prologue_relu: bool):
+  """conv with GN chain fusion: prologue applies the PREVIOUS layer's
+  per-channel normalize (+ReLU) while staging the padded input; epilogue
+  emits this layer's raw output plus per-channel (Σy, Σy²) so the next
+  layer can normalize in ITS prologue. Keeps the whole GN trunk free of
+  standalone normalization passes over HBM.
+
+  Grid = (cout_tiles, cin_tiles): the inner cin loop accumulates into the
+  scratch; outputs are written on the last cin step. Tiling cin keeps the
+  padded input + accumulator inside the 16 MB VMEM for 512-wide layers.
+  """
+  j = pl.program_id(1)
+
+  xpad_ref[:, :, :] = jnp.zeros_like(xpad_ref)
+  xn = (x_ref[:, :, :].astype(jnp.float32) * scale_ref[0, :]
+        + shift_ref[0, :])
+  if prologue_relu:
+    xn = jnp.maximum(xn, 0.0)
+  xpad_ref[1:1 + h, 1:1 + w, :] = xn.astype(jnp.bfloat16)
+
+  @pl.when(j == 0)
+  def _():
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+  for dy in range(3):
+    for dx in range(3):
+      xs = xpad_ref[dy:dy + h, dx:dx + w, :].reshape(h * w, cin_tile)
+      acc_ref[:, :] += jnp.dot(xs, w_ref[dy, dx, :, :],
+                               preferred_element_type=jnp.float32)
+
+  @pl.when(j == n_cin - 1)
+  def _():
+    out = acc_ref[:, :]
+    y_ref[:, :, :] = out.reshape(h, w, y_ref.shape[-1]).astype(y_ref.dtype)
+    s1_ref[0, :] = jnp.sum(out, axis=0)
+    s2_ref[0, :] = jnp.sum(out * out, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prologue_relu", "cout_tile", "cin_tile", "interpret"))
+def conv3x3_gn_chain(x: jnp.ndarray, scale: jnp.ndarray,
+                     shift: jnp.ndarray, kernel: jnp.ndarray,
+                     prologue_relu: bool = True,
+                     cout_tile: int = 128,
+                     cin_tile: int = 512,
+                     interpret: bool = False):
+  """One fused-trunk step: normalize(+ReLU) the raw input with the given
+  per-channel (scale, shift), convolve 3x3 SAME, return (raw output bf16,
+  Σy per channel, Σy² per channel).
+
+  Chain usage (see models/scoordnet.fused_trunk): the caller turns
+  (Σy, Σy², gamma, beta) into the next step's (scale, shift) — a (cout,)
+  -sized computation XLA handles between kernels.
+  """
+  h, w, cin = x.shape
+  _, _, _, cout = kernel.shape
+  cin_tile = min(cin_tile, cin)
+  assert cout % cout_tile == 0 and cin % cin_tile == 0
+  n_cin = cin // cin_tile
+  grid = (cout // cout_tile, n_cin)
+  kern = functools.partial(_fused_kernel, h=h, w=w, cin_tile=cin_tile,
+                           n_cin=n_cin, prologue_relu=prologue_relu)
+  y, s1, s2 = pl.pallas_call(
+      kern,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((h, w, cin_tile), lambda i, j: (0, 0, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, cin_tile), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, cin_tile), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((3, 3, cin_tile, cout_tile),
+                       lambda i, j: (0, 0, j, i),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((h, w, cout_tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, cout_tile), lambda i, j: (0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, cout_tile), lambda i, j: (0, i),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((h, w, cout), jnp.bfloat16),
+          jax.ShapeDtypeStruct((1, cout), jnp.float32),
+          jax.ShapeDtypeStruct((1, cout), jnp.float32),
+      ),
+      scratch_shapes=[
+          pltpu.VMEM((h + 2, w + 2, cin_tile), jnp.bfloat16),
+          pltpu.VMEM((h * w, cout_tile), jnp.float32),
+      ],
+      # the default scoped limit (16M) is ~0.5M short for the 512-wide
+      # layers; v5e has headroom above it.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=24 * 1024 * 1024),
+      interpret=interpret,
+  )(x.astype(jnp.bfloat16),
+    scale.reshape(1, cin).astype(jnp.float32),
+    shift.reshape(1, cin).astype(jnp.float32),
+    kernel.astype(jnp.bfloat16))
+  return y, s1[0], s2[0]
+
+
+def gn_scale_shift(s1: jnp.ndarray, s2: jnp.ndarray, n_spatial: int,
+                   gamma: jnp.ndarray, beta: jnp.ndarray,
+                   groups: int = 32, eps: float = 1e-5):
+  """Turn per-channel conv-output moments into the next prologue's
+  per-channel (scale, shift): GroupNorm with affine params folded in."""
+  c = s1.shape[0]
+  g = min(groups, c)
+  while c % g:
+    g -= 1
+  cg = c // g
+  n = n_spatial * cg
+  gs1 = jnp.sum(s1.reshape(g, cg), axis=-1)
+  gs2 = jnp.sum(s2.reshape(g, cg), axis=-1)
+  mean_g = gs1 / n
+  var_g = jnp.maximum(gs2 / n - jnp.square(mean_g), 0.0)
+  inv_g = jax.lax.rsqrt(var_g + eps)
+  mean_c = jnp.repeat(mean_g, cg)
+  inv_c = jnp.repeat(inv_g, cg)
+  scale = gamma * inv_c
+  shift = beta - mean_c * scale
+  return scale, shift
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "cout_tile", "out_dtype", "interpret"))

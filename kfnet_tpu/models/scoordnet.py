@@ -78,26 +78,31 @@ def _adjusted_strides(strides, stem_s2d):
   return strides
 
 
+def _layer_list(config: SCoordNetConfig) -> list:
+  strides = _adjusted_strides(config.strides, config.stem_s2d)
+  impl = "xla" if config.conv_impl == "pallas_fused" else config.conv_impl
+  blocks = [
+      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype,
+                   impl=impl)
+      for c, s in zip(config.channels, strides)
+  ]
+  head = [
+      L.conv_block(config.head_channels, 3, 1, norm=config.norm,
+                   compute_dtype=config.dtype, impl=impl),
+      # final 1x1 head in f32: coordinate/log-variance outputs need more
+      # than bf16's ~3 significant digits (cheap — 512->4 at 1/8 res).
+      L.conv(4, 1, 1, use_bias=True, compute_dtype=jnp.float32),
+  ]
+  return blocks + head
+
+
 def build(config: SCoordNetConfig) -> L.Layer:
   """Trunk + 4-channel head as a single serial Layer.
 
   NOTE: the space-to-depth stem is applied in ``apply`` (outside this
   serial), so callers may pre-transform whole sequences once instead of
   per frame (filter/sequence.py hoists it out of the scan)."""
-  strides = _adjusted_strides(config.strides, config.stem_s2d)
-  blocks = [
-      L.conv_block(c, 3, s, norm=config.norm, compute_dtype=config.dtype,
-                   impl=config.conv_impl)
-      for c, s in zip(config.channels, strides)
-  ]
-  head = [
-      L.conv_block(config.head_channels, 3, 1, norm=config.norm,
-                   compute_dtype=config.dtype, impl=config.conv_impl),
-      # final 1x1 head in f32: coordinate/log-variance outputs need more
-      # than bf16's ~3 significant digits (cheap — 512->4 at 1/8 res).
-      L.conv(4, 1, 1, use_bias=True, compute_dtype=jnp.float32),
-  ]
-  return L.serial(*blocks, *head)
+  return L.serial(*_layer_list(config))
 
 
 def maybe_space_to_depth(config, image: jnp.ndarray) -> jnp.ndarray:
@@ -122,6 +127,60 @@ def init(key: jax.Array, config: SCoordNetConfig,
   return params
 
 
+def _fused_suffix_start(config: SCoordNetConfig) -> int:
+  """First trunk index from which every remaining conv is fused-trunk
+  eligible (stride 1, cin/cout multiples of 128) — the 1/8-res 256/512
+  stack. Returns len(channels)+1 (= nothing fused) if never eligible."""
+  strides = _adjusted_strides(config.strides, config.stem_s2d)
+  f = config.stem_s2d
+  cins = [3 * f * f if f > 1 else 3] + list(config.channels)
+  n = len(config.channels)
+  start = n + 1
+  for i in range(n - 1, -1, -1):
+    if strides[i] == 1 and cins[i] % 128 == 0 and cins[i + 1] % 128 == 0:
+      start = i
+    else:
+      break
+  return start
+
+
+def _apply_fused_trunk(params, config: SCoordNetConfig,
+                       image: jnp.ndarray) -> jnp.ndarray:
+  """Inference fast path (conv_impl="pallas_fused"): XLA prefix, then the
+  1/8-res GN trunk as a chain of fused Pallas convs whose prologues apply
+  the previous layer's GroupNorm+ReLU and whose epilogues emit the
+  moments for the next — zero standalone normalization passes over HBM.
+  Numerically equivalent to the serial path (parity-tested)."""
+  from kfnet_tpu.kernels.conv3x3 import conv3x3_gn_chain, gn_scale_shift
+
+  assert config.norm == "group", "fused trunk assumes GroupNorm blocks"
+  k = _fused_suffix_start(config)
+  layers_list = _layer_list(config)
+  n_blocks = len(config.channels)
+
+  x = image
+  for i in range(k):  # XLA prefix (strided / narrow layers)
+    x = layers_list[i].apply(params[i], x)
+
+  h, w = x.shape[-3], x.shape[-2]
+  scale = jnp.ones((x.shape[-1],), jnp.float32)
+  shift = jnp.zeros((x.shape[-1],), jnp.float32)
+  prologue_relu = False  # prefix output is already normalized + relu'd
+  s1 = s2 = None
+  # fused chocks: trunk blocks k..n-1 plus the head conv block (index n)
+  for i in range(k, n_blocks + 1):
+    conv_w = params[i][0]["w"]
+    y, s1, s2 = conv3x3_gn_chain(x, scale, shift, conv_w,
+                                 prologue_relu=prologue_relu)
+    gn = params[i][1]
+    scale, shift = gn_scale_shift(s1, s2, h * w, gn["scale"], gn["bias"])
+    prologue_relu = True
+    x = y
+  # final normalize + relu (one elementwise pass), then the f32 1x1 head.
+  x = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
+  return layers_list[n_blocks + 1].apply(params[n_blocks + 1], x)
+
+
 def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
   """Forward pass.
 
@@ -134,8 +193,11 @@ def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
     variance: (..., H/8, W/8, 1) measurement-noise variance σ² (positive).
   """
   image = maybe_space_to_depth(config, image)
-  net = build(config)
-  out = net.apply(params, image).astype(jnp.float32)
+  if config.conv_impl == "pallas_fused" and image.ndim == 3:
+    out = _apply_fused_trunk(params, config, image).astype(jnp.float32)
+  else:
+    net = build(config)
+    out = net.apply(params, image).astype(jnp.float32)
   raw = out[..., :3]
   log_var = jnp.clip(out[..., 3:4], LOG_VAR_MIN, LOG_VAR_MAX)
   offset = jnp.asarray(config.coord_offset, jnp.float32)

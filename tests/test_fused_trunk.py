@@ -1,0 +1,64 @@
+"""Parity of the fused Pallas GN-trunk (conv_impl="pallas_fused") against
+the serial XLA path, interpret mode on CPU."""
+
+import dataclasses
+import unittest.mock as mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.kernels import conv3x3 as c3
+from kfnet_tpu.models import scoordnet
+
+
+def small_cfg(conv_impl="xla"):
+  return scoordnet.SCoordNetConfig(
+      channels=(128, 128), strides=(1, 1), head_channels=128,
+      stem_s2d=1, compute_dtype="bfloat16", conv_impl=conv_impl)
+
+
+def test_fused_suffix_start():
+  assert scoordnet._fused_suffix_start(small_cfg()) == 1
+  # default config: suffix starts where the 1/8-res 128+-channel run begins
+  k = scoordnet._fused_suffix_start(scoordnet.SCoordNetConfig())
+  strides = scoordnet._adjusted_strides(
+      scoordnet.SCoordNetConfig().strides, 2)
+  assert all(s == 1 for s in strides[k:])
+  assert k <= 4
+
+
+def test_fused_trunk_matches_serial():
+  cfg_x = small_cfg("xla")
+  cfg_p = small_cfg("pallas_fused")
+  params = scoordnet.init(jax.random.key(0), cfg_x, (16, 16, 3))
+  rng = np.random.default_rng(0)
+  img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+
+  c_ref, v_ref = scoordnet.apply(params, cfg_x, img)
+
+  orig = c3.conv3x3_gn_chain
+
+  def interp(*a, **kw):
+    kw["interpret"] = True
+    return orig(*a, **kw)
+
+  with mock.patch.object(c3, "conv3x3_gn_chain", side_effect=interp):
+    c_p, v_p = scoordnet.apply(params, cfg_p, img)
+
+  # bf16 trunks with different accumulation orders: relative tolerance.
+  np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                             rtol=5e-2, atol=5e-2)
+  np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref),
+                             rtol=1e-1, atol=1e-6)
+
+
+def test_fused_trunk_batched_falls_back():
+  cfg_p = small_cfg("pallas_fused")
+  params = scoordnet.init(jax.random.key(0), cfg_p, (16, 16, 3))
+  rng = np.random.default_rng(1)
+  imgs = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+  # batched input (ndim > 3) must silently use the serial XLA path
+  c, v = scoordnet.apply(params, cfg_p, imgs)
+  assert c.shape == (2, 16, 16, 3)  # this tiny config has total stride 1
+  assert bool(jnp.isfinite(c).all())
