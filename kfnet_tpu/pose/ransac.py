@@ -23,7 +23,10 @@ from kfnet_tpu.pose import pnp
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
   num_hypotheses: int = 256
-  sample_size: int = 6           # DLT minimal set
+  solver: str = "dlt"            # "dlt" (6-pt) | "p3p" (3-pt Grunert; up
+                                 # to 4 candidates per sample — survives
+                                 # much lower inlier ratios, w³ vs w⁶)
+  sample_size: int = 6           # DLT minimal set (p3p uses 3)
   inlier_threshold_px: float = 10.0
   top_k: int = 2048              # confidence preselection (reference picks
                                  # lowest-σ pixels; SURVEY.md §3.4)
@@ -70,17 +73,29 @@ def solve_pnp_ransac(pixels: jnp.ndarray, coords: jnp.ndarray,
   uv, X, w = select_confident(pixels, coords, variance, valid, k)
 
   # --- hypothesize: M weighted-random minimal sets over the top-k pool.
+  sample_size = 3 if cfg.solver == "p3p" else cfg.sample_size
   logits = jnp.where(w > 0, 0.0, -jnp.inf)
   sample = lambda key: jax.random.choice(
-      key, k, shape=(cfg.sample_size,), replace=False,
+      key, k, shape=(sample_size,), replace=False,
       p=jax.nn.softmax(logits))
   keys = jax.random.split(rng, cfg.num_hypotheses)
   idx = jax.vmap(sample)(keys)  # (M, s)
 
-  def hypothesize(ind):
-    return pnp.dlt_pnp(jnp.take(uv, ind, 0), jnp.take(X, ind, 0), K)
+  if cfg.solver == "p3p":
+    from kfnet_tpu.pose import p3p as p3p_lib
 
-  Rs, ts = jax.vmap(hypothesize)(idx)
+    def hypothesize(ind):
+      return p3p_lib.p3p_grunert(
+          jnp.take(uv, ind, 0), jnp.take(X, ind, 0), K)
+
+    Rs4, ts4 = jax.vmap(hypothesize)(idx)   # (M, 4, 3, 3), (M, 4, 3)
+    Rs = Rs4.reshape(-1, 3, 3)              # 4M candidates
+    ts = ts4.reshape(-1, 3)
+  else:
+    def hypothesize(ind):
+      return pnp.dlt_pnp(jnp.take(uv, ind, 0), jnp.take(X, ind, 0), K)
+
+    Rs, ts = jax.vmap(hypothesize)(idx)
 
   # --- score: weighted inlier counts on the full pool.
   errs = jax.vmap(lambda R, t: pnp.reprojection_errors(uv, X, K, R, t))(
