@@ -8,7 +8,7 @@ keys image/pose[/depth].
 
 from __future__ import annotations
 
-from typing import Callable, Iterator
+from typing import Callable
 
 
 class DatasetAdapter:
