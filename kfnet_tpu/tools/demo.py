@@ -79,7 +79,19 @@ def main(argv=None):
   p.add_argument("--test_frames", type=int, default=48)
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--save", default="", help="save trained params here")
+  p.add_argument("--full_size", action="store_true",
+                 help="full 23.6M-param bf16 models at 640x480 (the "
+                      "flagship run: ~25 min on a TPU chip; reproduces "
+                      "the paper's filtering gain — see README). "
+                      "Overrides --height/--width.")
   args = p.parse_args(argv)
+  if args.full_size:
+    args.height, args.width = 480, 640
+    args.learning_rate = 3e-4
+    args.steps = max(args.steps, 3000)
+    args.oflownet_steps = max(args.oflownet_steps, 2000)
+    if args.joint_steps == 0:
+      args.joint_steps = 400
   H, W = args.height, args.width
 
   scene = synthetic.make_scene(0)
@@ -98,19 +110,29 @@ def main(argv=None):
           train["depths"], train["poses"])
   mean, std = labels.scene_statistics([np.asarray(coords)],
                                       [np.asarray(valid)])
-  sc_cfg = scoordnet.SCoordNetConfig(
-      channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
-      head_channels=64, compute_dtype="float32",
-      coord_offset=tuple(map(float, mean)), coord_scale=float(std))
+  import dataclasses as _dc
+  if args.full_size:
+    sc_cfg = _dc.replace(scoordnet.SCoordNetConfig(),
+                         coord_offset=tuple(map(float, mean)),
+                         coord_scale=float(std))
+  else:
+    sc_cfg = scoordnet.SCoordNetConfig(
+        channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
+        head_channels=64, compute_dtype="float32",
+        coord_offset=tuple(map(float, mean)), coord_scale=float(std))
   params_sc = scoordnet.init(jax.random.key(0), sc_cfg, (H, W, 3))
   loss_fn = objectives.scoordnet_objective(sc_cfg)
   batch_all = {"image": train["images"], "coords": coords, "valid": valid}
   state, m = fit_on_device(loss_fn, params_sc, batch_all, args.steps,
                            args.learning_rate, tag="scoordnet")
 
-  of_cfg = oflownet.OFlowNetConfig(
-      encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
-      search_radius=2, unet_channels=(16, 16, 32), compute_dtype="float32")
+  if args.full_size:
+    of_cfg = oflownet.OFlowNetConfig()
+  else:
+    of_cfg = oflownet.OFlowNetConfig(
+        encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
+        search_radius=2, unet_channels=(16, 16, 32),
+        compute_dtype="float32")
   of_params = oflownet.init(jax.random.key(1), of_cfg, (H, W, 3))
 
   if args.oflownet_steps > 0:
@@ -136,10 +158,15 @@ def main(argv=None):
         "coords": coords[1:], "valid": valid[1:]}
     joint_state, _ = fit_on_device(
         joint_loss, params, pair_all, args.joint_steps,
-        args.learning_rate * 0.1, batch=4, tag="joint", seed=2)
+        args.learning_rate * 0.1, batch=2 if args.full_size else 4,
+        chunk=50 if args.full_size else 250, tag="joint", seed=2)
     params = joint_state.params
 
-  rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
+  if args.full_size:
+    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=1024,
+                               solver="p3p", inlier_threshold_px=8.0)
+  else:
+    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
   res_m = eval_sequence.evaluate_measurement_only(
       params, cfg, test_imgs, K, gt_poses=np.asarray(test_poses),
       scene="synthetic(measurement-only)", ransac_config=rcfg)
