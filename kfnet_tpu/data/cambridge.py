@@ -8,8 +8,11 @@ Disk layout (the public PoseNet release):
     <root>/<scene>/dataset_test.txt
     <root>/<scene>/seqN/frameNNNNN.png
 
-The pose line gives the **world-to-camera** transform as (t, q): the
-camera center is c = -R(q)ᵀ t. Cambridge has no sensor depth; coordinate
+The pose line gives the camera **position** (center, world frame) plus a
+**world-to-camera** quaternion — the file's own header reads
+"ImageFile, Camera Position [X Y Z W P Q R]" (NVM/VisualSFM export), so
+T_wc = [R(q)ᵀ | t] with the position used as-is, NOT -R(q)ᵀt.
+Cambridge has no sensor depth; coordinate
 labels come from SfM-rendered depth maps (``<stem>.depth.png``, 16-bit,
 millimeters — produced by the label-generation tool) when present, mirroring
 the reference's rendered-depth label workflow. Frames with no depth file are
@@ -56,11 +59,13 @@ def parse_dataset_file(path: str):
       continue  # header / comments
     rel = parts[0]
     vals = np.asarray([float(v) for v in parts[1:]], np.float32)
-    t_w2c, q = vals[:3], vals[3:]
+    # (X Y Z) is the camera CENTER (world frame), (W P Q R) the
+    # world-to-camera quaternion — see module docstring.
+    center, q = vals[:3], vals[3:]
     R_w2c = quat_to_matrix(q)
     T_wc = np.eye(4, dtype=np.float32)
     T_wc[:3, :3] = R_w2c.T
-    T_wc[:3, 3] = -R_w2c.T @ t_w2c
+    T_wc[:3, 3] = center
     yield rel, T_wc
 
 

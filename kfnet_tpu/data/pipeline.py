@@ -48,8 +48,11 @@ def _crop_indices(rng: np.random.Generator, h: int, w: int,
 
 def augment_example(rng: np.random.Generator, example: dict,
                     cfg: AugmentConfig, stride: int = 8) -> dict:
-  """Crop image+depth together (same window ⇒ labels regenerate exactly);
-  photometric jitter on the image(s) only."""
+  """Crop image/depth AND any pre-generated strided label maps together
+  (crop origin is stride-aligned, so the strided maps crop exactly by
+  (y//stride, x//stride) with no principal-point shift needed — the label
+  at strided cell (i, j) of the crop is the label of full-image cell
+  (y//stride + i, x//stride + j)); photometric jitter on the image(s) only."""
   if not cfg.enabled:
     return example
   out = dict(example)
@@ -63,6 +66,10 @@ def augment_example(rng: np.random.Generator, example: dict,
     for k in ("depth", "depth_prev"):
       if k in out:
         out[k] = out[k][y:y + ch, x:x + cw]
+    ys, xs, chs, cws = y // stride, x // stride, ch // stride, cw // stride
+    for k in ("coords", "coords_prev", "valid", "valid_prev"):
+      if k in out:
+        out[k] = out[k][ys:ys + chs, xs:xs + cws]
     out["crop_offset"] = np.asarray([x, y], np.float32)
   for k in img_keys:
     out[k] = _photometric(rng, out[k], cfg)

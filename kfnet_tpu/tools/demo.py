@@ -58,8 +58,10 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
   m = {}
   while done < steps:
     k = min(chunk, steps - done)
-    idxs = jnp.asarray(rng.integers(0, n, size=(chunk, batch)))
-    state, m = run_chunk(state, idxs)  # fixed chunk shape: one compile
+    # k rows exactly: a short tail costs one extra compile but never
+    # trains more steps than requested.
+    idxs = jnp.asarray(rng.integers(0, n, size=(k, batch)))
+    state, m = run_chunk(state, idxs)
     done += k
     print(f"{tag} step {done}: " + " ".join(
         f"{key}={float(val):.4f}" for key, val in sorted(m.items())

@@ -31,8 +31,21 @@ def load_pretrained(exp: config_lib.ExperimentConfig, image_shape,
                     scoordnet_ckpt: str | None, oflownet_ckpt: str | None,
                     seed: int = 0):
   """Init the combined pytree, overwriting subnets from stage-1/2
-  checkpoints when given (fresh init otherwise, for smoke tests)."""
-  cfg = exp.kfnet_config()
+  checkpoints when given (fresh init otherwise, for smoke tests).
+
+  The SCoordNet checkpoint's meta.json (written by train_scoordnet)
+  carries the per-scene coordinate normalization; it is baked back into
+  the config here so restored weights emit METRIC coordinates — without
+  this the net would silently emit normalized coordinates (ADVICE r1).
+  """
+  scfg = exp.scoordnet
+  if scoordnet_ckpt:
+    meta = ckpt_lib.load_meta(scoordnet_ckpt)
+    if meta and "coord_scale" in meta:
+      scfg = dataclasses.replace(
+          scfg, coord_offset=tuple(float(x) for x in meta["coord_offset"]),
+          coord_scale=float(meta["coord_scale"]))
+  cfg = kfnet.KFNetConfig(scoordnet=scfg, oflownet=exp.oflownet)
   params = kfnet.init(jax.random.key(seed), cfg, image_shape)
   if scoordnet_ckpt:
     params["scoordnet"] = ckpt_lib.load_params(
@@ -74,6 +87,11 @@ def main(argv=None):
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),
                       logger=logger)
+  ckpt_lib.export_params(
+      os.path.join(out_dir, "export"), state.params,
+      meta={"scene": exp.scene,
+            "coord_offset": list(cfg.scoordnet.coord_offset),
+            "coord_scale": float(cfg.scoordnet.coord_scale)})
   logger.log_text(f"done at step {int(state.step)}")
   return state
 

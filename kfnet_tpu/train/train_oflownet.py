@@ -90,6 +90,10 @@ def main(argv=None):
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),
                       logger=logger)
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+  ckpt_lib.export_params(os.path.join(out_dir, "export"), state.params,
+                         meta={"dataset": exp.dataset.name,
+                               "scenes": scenes})
   logger.log_text(f"done at step {int(state.step)}")
   return state
 

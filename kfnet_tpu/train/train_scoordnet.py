@@ -25,6 +25,7 @@ from kfnet_tpu.data import seven_scenes as s7
 from kfnet_tpu.models import scoordnet
 from kfnet_tpu.parallel import mesh as mesh_lib
 from kfnet_tpu.train import objectives, trainer
+from kfnet_tpu.utils import checkpoint as ckpt_lib
 from kfnet_tpu.utils import config as config_lib
 from kfnet_tpu.utils import logging as log_lib
 
@@ -86,6 +87,13 @@ def main(argv=None):
   logger = log_lib.MetricLogger(
       jsonl_path=os.path.join(out_dir, "metrics.jsonl"),
       tensorboard_dir=os.path.join(out_dir, "tb"))
+  # Persist the normalization up front so ANY checkpoint in out_dir (even
+  # from an interrupted run) can be restored with the exact net config —
+  # eval/fine-tune rebuild SCoordNetConfig from this (ADVICE r1).
+  meta = {"scene": exp.scene,
+          "coord_offset": [float(x) for x in mean],
+          "coord_scale": float(std)}
+  ckpt_lib.save_meta(out_dir, meta)
   loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
   # NB: crop is disabled by default so the pixel grid matches eval exactly;
   # enable AugmentConfig(crop=...) for regularization on small scenes.
@@ -96,6 +104,8 @@ def main(argv=None):
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),
                       logger=logger)
+  # Release-format params-only export (SURVEY.md §2.2 #13).
+  ckpt_lib.export_params(os.path.join(out_dir, "export"), state.params, meta)
   logger.log_text(f"done at step {int(state.step)}; "
                   f"coord normalization mean={mean.tolist()} std={std}")
   return state

@@ -1,8 +1,27 @@
 """Orbax checkpoint wrapper (SURVEY.md §5 checkpoint/resume row): periodic
-saves + restore-latest resume-by-step, replacing ``tf.train.Saver``."""
+saves + restore-latest resume-by-step, replacing ``tf.train.Saver``.
+
+Layouts understood by :func:`load_params` (so ``--scoordnet_ckpt`` can point
+at any of them):
+
+  1. ``<path>/params`` + ``<path>/meta.json`` — an *export* written by
+     :func:`export_params` (params-only, the released-weights format,
+     SURVEY.md §2.2 #13).
+  2. ``<path>/export/params`` — a training out_dir whose run finished and
+     wrote an export subdir.
+  3. ``<path>/<step>/...`` — the trainer's CheckpointManager layout
+     (full TrainState); the latest step is restored template-free and its
+     ``params`` sub-tree extracted.
+  4. anything else — a bare ``StandardCheckpointer`` path as written by
+     :func:`save_params`.
+
+Side-band metadata (per-scene coordinate normalization etc.) travels in
+``meta.json`` next to the checkpoint — see :func:`save_meta`/:func:`load_meta`.
+"""
 
 from __future__ import annotations
 
+import json
 import os
 
 import orbax.checkpoint as ocp
@@ -49,6 +68,61 @@ def save_params(path: str, params):
   ckptr.wait_until_finished()
 
 
+def save_meta(directory: str, meta: dict):
+  """Write side-band metadata (e.g. coord_offset/coord_scale — the scene
+  normalization train_scoordnet bakes into the net config) next to the
+  checkpoints, so eval/fine-tune can rebuild the exact config."""
+  os.makedirs(directory, exist_ok=True)
+  with open(os.path.join(directory, "meta.json"), "w") as f:
+    json.dump(meta, f, indent=2)
+
+
+def load_meta(path: str) -> dict | None:
+  """Find meta.json at ``<path>`` or ``<path>/export``; None if absent."""
+  for d in (path, os.path.join(path, "export")):
+    p = os.path.join(d, "meta.json")
+    if os.path.exists(p):
+      with open(p) as f:
+        return json.load(f)
+  return None
+
+
+def export_params(directory: str, params, meta: dict | None = None):
+  """Release-format export: params under ``<dir>/params`` + meta.json."""
+  directory = os.path.abspath(directory)
+  save_params(os.path.join(directory, "params"), params)
+  if meta is not None:
+    save_meta(directory, meta)
+
+
+def _manager_steps(path: str):
+  try:
+    return sorted(int(d) for d in os.listdir(path) if d.isdigit())
+  except FileNotFoundError:
+    return []
+
+
 def load_params(path: str, template=None):
-  ckptr = ocp.StandardCheckpointer()
-  return ckptr.restore(os.path.abspath(path), target=template)
+  """Restore a params pytree from any layout in the module docstring."""
+  path = os.path.abspath(path)
+  for sub in ("params", os.path.join("export", "params")):
+    p = os.path.join(path, sub)
+    if os.path.isdir(p):
+      return ocp.StandardCheckpointer().restore(p, target=template)
+  steps = _manager_steps(path)
+  if steps:
+    mgr = ocp.CheckpointManager(path)
+    # template-free: the saved item is a full TrainState whose opt_state
+    # structure we don't know here; extract just the params sub-tree.
+    raw = mgr.restore(steps[-1], args=ocp.args.StandardRestore())
+    params = raw["params"]
+    if template is not None:
+      import jax
+      ref = jax.tree_util.tree_structure(template)
+      got = jax.tree_util.tree_structure(params)
+      if ref != got:
+        raise ValueError(
+            f"checkpoint params at {path} (step {steps[-1]}) do not match "
+            f"the template structure:\n saved: {got}\n want:  {ref}")
+    return params
+  return ocp.StandardCheckpointer().restore(path, target=template)

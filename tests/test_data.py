@@ -149,7 +149,8 @@ def test_cambridge_pose_parsing(tmp_path):
   from kfnet_tpu.data import cambridge
   scene_dir = tmp_path / "KingsCollege"
   (scene_dir / "seq1").mkdir(parents=True)
-  # camera at world origin looking +z: w2c = identity, t = 0
+  # identity w2c rotation, camera CENTER at (1, 2, 3) — the dataset file
+  # stores the camera position directly (NVM export; see loader docstring)
   with open(scene_dir / "dataset_train.txt", "w") as f:
     f.write("Visual Landmark Dataset\nImageFile, Camera Position [X Y Z W P Q R]\n\n")
     f.write("seq1/frame00001.png 1.0 2.0 3.0 1.0 0.0 0.0 0.0\n")
@@ -159,6 +160,58 @@ def test_cambridge_pose_parsing(tmp_path):
   split, poses = cambridge.load_split(str(tmp_path), "KingsCollege", "train")
   assert len(split.frames) == 1
   T = poses[split.frames[0].color_path]
-  # identity rotation: camera center = -t
-  np.testing.assert_allclose(T[:3, 3], [-1, -2, -3], atol=1e-6)
+  # camera-to-world translation IS the stored position
+  np.testing.assert_allclose(T[:3, 3], [1, 2, 3], atol=1e-6)
   np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
+
+
+def test_cambridge_pose_rotated(tmp_path):
+  """Rotated case pins the convention: T_wc[:3,3] is the raw stored
+  position (the wrong -R(q)^T t reading would give a different value)."""
+  from kfnet_tpu.data import cambridge
+  scene_dir = tmp_path / "ShopFacade"
+  (scene_dir / "seq1").mkdir(parents=True)
+  # 90 deg about +z as world-to-camera: q = (cos45, 0, 0, sin45)
+  s2 = np.sqrt(0.5)
+  with open(scene_dir / "dataset_train.txt", "w") as f:
+    f.write("header\nheader\n\n")
+    f.write(f"seq1/frame00001.png 4.0 5.0 6.0 {s2} 0.0 0.0 {s2}\n")
+  from PIL import Image
+  Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+      scene_dir / "seq1" / "frame00001.png")
+  _, poses = cambridge.load_split(str(tmp_path), "ShopFacade", "train")
+  T = next(iter(poses.values()))
+  np.testing.assert_allclose(T[:3, 3], [4, 5, 6], atol=1e-6)
+  R_w2c = cambridge.quat_to_matrix(np.asarray([s2, 0, 0, s2]))
+  np.testing.assert_allclose(T[:3, :3], R_w2c.T, atol=1e-6)
+  # a world point expressed in camera frame then mapped back must match
+  pw = np.asarray([1.0, -2.0, 3.0])
+  pc = R_w2c @ (pw - np.asarray([4, 5, 6]))
+  np.testing.assert_allclose(T[:3, :3] @ pc + T[:3, 3], pw, atol=1e-5)
+
+
+def test_augment_crop_with_label_maps():
+  """ADVICE r1: crop must also slice pre-generated strided label maps so
+  loaders that ship coords/valid in the example stay shape-consistent."""
+  rng = np.random.default_rng(3)
+  H, W, s = 48, 64, 8
+  img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+  # encode the strided cell index in the label value to verify alignment
+  gy, gx = np.mgrid[0:H // s, 0:W // s]
+  coords = np.stack([gx, gy, gx + gy], -1).astype(np.float32)
+  valid = (gx + gy) % 2 == 0
+  ex = {"image": img, "coords": coords, "valid": valid,
+        "image_prev": img.copy(), "coords_prev": coords.copy(),
+        "valid_prev": valid.copy()}
+  cfg = pipeline.AugmentConfig(crop=(32, 48), brightness=0.0, contrast=0.0)
+  out = pipeline.augment_example(rng, ex, cfg, stride=s)
+  assert out["image"].shape == (32, 48, 3)
+  assert out["coords"].shape == (4, 6, 3)
+  assert out["valid"].shape == (4, 6)
+  x, y = (int(v) for v in out["crop_offset"])
+  assert x % s == 0 and y % s == 0
+  np.testing.assert_array_equal(
+      out["coords"], coords[y // s:y // s + 4, x // s:x // s + 6])
+  np.testing.assert_array_equal(
+      out["valid"], valid[y // s:y // s + 4, x // s:x // s + 6])
+  np.testing.assert_array_equal(out["coords_prev"], out["coords"])
