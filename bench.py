@@ -4,16 +4,24 @@
 (TPU when run by the driver).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "fps_pallas": N, "fps_xla": N, "mfu": N, ...}
 
-vs_baseline: the reference TF1 throughput was not measurable this round
-(reference mount empty — SURVEY.md §0) and the paper reports no fps; we
-use an estimated 15 fps for the TF1 recursive filter on a 2019-class GPU
-(SCoordNet+OFlowNet+per-frame session.run round trip), so the BASELINE.json
-north star "≥10x TF1 fps" corresponds to vs_baseline ≥ 10. Re-anchor when
-the mount is populated.
+Measures BOTH the fused-Pallas-kernel path and the plain-XLA composition
+(VERDICT r1 item 4: the kernel's end-to-end win must be recorded, not
+assumed), plus MFU computed from XLA's own cost analysis of the compiled
+executable (analytic conv-count fallback).
+
+vs_baseline: the reference TF1 throughput was not measurable (reference
+mount empty — SURVEY.md §0) and the paper reports no fps; we use an
+estimated 15 fps for the TF1 recursive filter on a 2019-class GPU
+(SCoordNet+OFlowNet+per-frame session.run round trip), so the
+BASELINE.json north star "≥10x TF1 fps" corresponds to vs_baseline ≥ 10.
+Re-anchor when the mount is populated. The assumption-free headline is
+the absolute fps + MFU.
 """
 
+import dataclasses
 import json
 import time
 
@@ -26,9 +34,32 @@ FRAMES = 32
 H, W = 480, 640
 
 
-def main():
+def bench_variant(cfg, params, images, reps=3, k=3):
+  """(fps, total_flops|None) for one config — median of k timing batches,
+  AOT-compiled so the timed executable is the one cost-analyzed."""
   from kfnet_tpu.filter import sequence
+  from kfnet_tpu.eval import flops as flops_lib
+  from kfnet_tpu.utils.timing import sync
+
+  compiled = jax.jit(
+      lambda p, im: sequence.run_filter(p, cfg, im)[:2]).lower(
+          params, images).compile()
+  fl = flops_lib.compiled_flops(compiled)
+  out = compiled(params, images)
+  sync(out)  # warmup (hard sync; see utils/timing.py)
+  times = []
+  for _ in range(k):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+      out = compiled(params, images)
+    sync(out)
+    times.append((time.perf_counter() - t0) / reps)
+  return FRAMES / float(np.median(times)), fl
+
+
+def main():
   from kfnet_tpu.models import kfnet
+  from kfnet_tpu.eval import flops as flops_lib
 
   on_tpu = jax.default_backend() == "tpu"
   # NB: conv_impl stays "xla" — the Pallas conv wins standalone (+21%)
@@ -45,19 +76,20 @@ def main():
   rng = np.random.default_rng(0)
   images = jnp.asarray(rng.uniform(0, 1, (FRAMES, h, w, 3)).astype(np.float32))
 
-  from kfnet_tpu.utils.timing import sync
+  fps, fl_ca = bench_variant(cfg, params, images)
+  if cfg.use_pallas:
+    cfg_xla = dataclasses.replace(cfg, use_pallas=False)
+    fps_xla, _ = bench_variant(cfg_xla, params, images, reps=2, k=3)
+  else:
+    fps_xla = fps
 
-  run = jax.jit(lambda p, im: sequence.run_filter(p, cfg, im)[:2])
-  xs, Ps = run(params, images)
-  sync((xs, Ps))  # compile + warmup (hard sync; see utils/timing.py)
-
-  reps = 3
-  t0 = time.perf_counter()
-  for _ in range(reps):
-    xs, Ps = run(params, images)
-  sync((xs, Ps))
-  dt = (time.perf_counter() - t0) / reps
-  fps = FRAMES / dt
+  # MFU from the analytic conv count (XLA's cost_analysis counts the scan
+  # body ONCE, not ×trip-count, so it is useless for a loop — it is still
+  # emitted raw for transparency).
+  flops_per_frame = flops_lib.filter_step_flops(cfg, h, w)
+  gflops_per_frame = flops_per_frame / 1e9
+  peak = flops_lib.peak_flops(jax.devices()[0])
+  mfu = flops_per_frame * fps / peak
 
   print(json.dumps({
       "metric": "kfnet_filtered_frames_per_sec_640x480",
@@ -67,6 +99,15 @@ def main():
       "backend": jax.default_backend(),
       "frames": FRAMES,
       "use_pallas": bool(cfg.use_pallas),
+      "fps_pallas": round(fps, 2) if cfg.use_pallas else None,
+      "fps_xla": round(fps_xla, 2),
+      "pallas_speedup": round(fps / fps_xla, 3) if cfg.use_pallas else None,
+      "gflops_per_frame": round(gflops_per_frame, 1),
+      "mfu": round(mfu, 3),
+      "flop_source": "analytic_conv_count",
+      "xla_cost_analysis_total_gflops":
+          round(fl_ca / 1e9, 1) if fl_ca else None,
+      "peak_tflops_assumed": peak / 1e12,
       "baseline_note": "assumed TF1 reference 15 fps (mount empty; "
                        "north-star target vs_baseline >= 10)",
   }))

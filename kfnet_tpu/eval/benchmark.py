@@ -58,6 +58,23 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   results["filter_ms_per_frame"] = 1e3 * t / frames
   results["filtered_fps"] = frames / t
 
+  # Streaming mode (host frames → chunked jitted scan): both chunk entries
+  # are compiled, so this should sit within ~15% of the batch scan minus
+  # host-transfer cost (VERDICT r1 item 6 regression surface).
+  def stream_once():
+    n, last = 0, None
+    for _, P in sequence.run_filter_chunked(
+        params, cfg, list(np.asarray(images)),
+        chunk_size=max(4, frames // 2 - 1)):
+      n, last = n + 1, P
+    sync(last)  # the yields are lazy device slices — force completion
+    return n
+
+  stream_once()  # compile both chunk entries
+  t0 = time.perf_counter()
+  n = stream_once()
+  results["streaming_fps"] = n / (time.perf_counter() - t0)
+
   # Serving mode: B independent sequences filtered in lockstep (time-major
   # batched scan) — amortizes per-step overhead and fills the MXU at small
   # spatial sizes. Frames/sec/chip counts all B streams.

@@ -73,6 +73,15 @@ def run_filter_jit(params, config, images, carry, return_aux: bool = False):
                     return_aux=return_aux)
 
 
+@partial(jax.jit, static_argnames=("config", "return_aux"))
+def run_filter_first_jit(params, config, images, return_aux: bool = False):
+  """Jitted carry=None entry (first streaming chunk). Without this the
+  first chunk of every streaming session would run eagerly, op-by-op —
+  hundreds of ~5-10 ms dispatches on this sandbox's TPU tunnel."""
+  return run_filter(params, config, images, carry=None,
+                    return_aux=return_aux)
+
+
 def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
                        chunk_size: int = 32):
   """Stream an arbitrarily long sequence through the jitted scan in
@@ -93,7 +102,8 @@ def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
   def flush(chunk, carry, first):
     imgs = jnp.asarray(np.stack(chunk))
     if first:
-      xs, Ps, carry = run_filter(params, config, imgs)  # traced once
+      # separate jitted entry (fixed chunk_size+1 shape → one compile)
+      xs, Ps, carry = run_filter_first_jit(params, config, imgs)
     else:
       xs, Ps, carry = run_filter_jit(params, config, imgs, carry)
     return xs, Ps, carry
@@ -116,7 +126,9 @@ def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
     # ragged tail: pad to chunk shape, then drop padded outputs.
     n = len(buf)
     if first:
-      xs, Ps, _ = run_filter(params, config, jnp.asarray(np.stack(buf)))
+      # whole sequence shorter than one chunk: single ragged compile
+      xs, Ps, _ = run_filter_first_jit(params, config,
+                                       jnp.asarray(np.stack(buf)))
       for i in range(n):
         yield xs[i], Ps[i]
     else:

@@ -70,6 +70,64 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
   return state, m
 
 
+def consistency_experiment(params, cfg, scene, K, H, W, n_frames=48):
+  """Sequence-level demonstration of the χ² consistency examination
+  (paper §3.4; VERDICT r1 item 2): splice two unrelated trajectories so
+  the camera 'teleports' mid-sequence, then filter with the χ² reset on
+  vs disabled. Returns a JSON-able report: the mask collapses at the jump
+  frame, the posterior re-locks within a couple of frames, and the
+  no-reset ablation stays broken."""
+  import dataclasses as _dc
+
+  import jax.numpy as jnp
+
+  from kfnet_tpu.data import labels
+  from kfnet_tpu.filter import sequence as seq_lib
+
+  jump = n_frames // 2
+  tA = synthetic.orbit_trajectory(n_frames, seed=99)
+  tB = synthetic.orbit_trajectory(n_frames, seed=77, radius=0.7)
+  poses = jnp.concatenate([tA[:jump], tB[jump:]], axis=0)
+  render = jax.jit(lambda T: synthetic.render(scene, T, K, H, W))
+  imgs, depths = jax.vmap(render)(poses)
+  gt_maps, gt_valid = jax.vmap(
+      lambda d, T: labels.generate(d, K, T, stride=8))(depths, poses)
+
+  def run(chi2_threshold):
+    c = _dc.replace(cfg, chi2_threshold=chi2_threshold)
+    xs, Ps, _, aux = jax.jit(
+        lambda p, im: seq_lib.run_filter(p, c, im, return_aux=True))(
+            params, imgs)
+    err = np.where(np.asarray(gt_valid),
+                   np.linalg.norm(np.asarray(xs) - np.asarray(gt_maps),
+                                  axis=-1), np.nan)
+    med_err = np.nanmedian(err.reshape(err.shape[0], -1), axis=1)
+    # aux covers frames 1..T-1
+    frac = np.asarray(aux["consistent"]).mean(axis=(1, 2, 3))
+    frac = np.concatenate([[1.0], frac])
+    return med_err, frac
+
+  err_on, frac_on = run(cfg.chi2_threshold)
+  err_off, _ = run(1e12)
+
+  pre_jump = float(np.median(err_on[2:jump]))
+  relock = next((int(t) for t in range(jump + 1, n_frames)
+                 if err_on[t] <= 2.0 * pre_jump), -1)
+  return {
+      "jump_frame": jump,
+      "consistent_frac_at_jump": float(frac_on[jump]),
+      "consistent_frac_healthy_min": float(
+          np.r_[frac_on[2:jump], frac_on[jump + 2:]].min()),
+      "median_coord_err_pre_jump_m": pre_jump,
+      "relock_frame": relock,
+      "frames_to_relock": relock - jump if relock >= 0 else -1,
+      "err_on_at_jump_plus_4_m": float(err_on[jump + 4]),
+      "err_off_at_jump_plus_4_m": float(err_off[jump + 4]),
+      "median_err_on_after_jump_m": float(np.median(err_on[jump + 2:])),
+      "median_err_off_after_jump_m": float(np.median(err_off[jump + 2:])),
+  }
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--steps", type=int, default=1500)
@@ -81,6 +139,10 @@ def main(argv=None):
   p.add_argument("--test_frames", type=int, default=48)
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--save", default="", help="save trained params here")
+  p.add_argument("--consistency", action="store_true",
+                 help="also run the χ² consistency-examination experiment "
+                      "(abrupt mid-sequence pose jump; filter with the "
+                      "reset on vs disabled) and print its report")
   p.add_argument("--full_size", action="store_true",
                  help="full 23.6M-param bf16 models at 640x480 (the "
                       "flagship run: ~25 min on a TPU chip; reproduces "
@@ -179,6 +241,11 @@ def main(argv=None):
     res.report.update(eval_sequence.coord_accuracy_report(
         res.coords, np.asarray(test_coords), np.asarray(test_valid)))
     print(json.dumps(res.report, indent=2))
+  if args.consistency:
+    rep = consistency_experiment(params, cfg, scene, K, H, W,
+                                 n_frames=args.test_frames)
+    rep["scene"] = "synthetic(consistency: chi2 reset on vs off)"
+    print(json.dumps(rep, indent=2))
   if args.save:
     from kfnet_tpu.utils import checkpoint as ckpt_lib
     ckpt_lib.save_params(args.save, params)

@@ -105,8 +105,6 @@ def kfnet_window_objective(config: kfnet.KFNetConfig,
 
   batch: images (B, T, H, W, 3), coords (B, T, h, w, 3), valid (B, T, h, w).
   """
-  assert not config.use_pallas or True  # custom VJP makes pallas trainable
-
   def loss_fn(params, batch):
     def single(images, coords_gt, valid):
       x0, P0, feat0 = kfnet.first_step(params, config, images[0])

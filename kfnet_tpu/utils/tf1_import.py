@@ -62,6 +62,74 @@ def scoordnet_mapping(num_blocks: int = 14) -> dict:
   return mapping
 
 
+def oflownet_mapping(num_encoder: int = 6) -> dict:
+  """PROVISIONAL name map for OFlowNet (reference-parity arch:
+  ``norm="none"``, ``stem_s2d=1``).
+
+  Our OFlowNet params: ``encoder`` = list of conv blocks; U-Net stages
+  ``enc0/down1/down2`` = serial of two conv blocks; ``up1/up0`` =
+  transpose convs; ``fuse1/fuse0`` = one conv block; ``head`` = plain
+  conv. TF1 names follow the same caffe-tensorflow convention as
+  :func:`scoordnet_mapping` (``oflownet/<layer>/weights|biases``).
+  """
+  mapping = {}
+  for i in range(num_encoder):
+    mapping[f"oflownet/conv{i+1}/weights"] = ("encoder", i, 0, "w")
+    mapping[f"oflownet/conv{i+1}/biases"] = ("encoder", i, 0, "b")
+  for stage in ("enc0", "down1", "down2"):
+    for j in range(2):
+      mapping[f"oflownet/{stage}_{j+1}/weights"] = (stage, j, 0, "w")
+      mapping[f"oflownet/{stage}_{j+1}/biases"] = (stage, j, 0, "b")
+  for stage in ("up1", "up0"):  # deconv upsampling
+    mapping[f"oflownet/{stage}/weights"] = (stage, "w")
+    mapping[f"oflownet/{stage}/biases"] = (stage, "b")
+  for stage in ("fuse1", "fuse0"):  # single conv block: conv at index 0
+    mapping[f"oflownet/{stage}/weights"] = (stage, 0, "w")
+    mapping[f"oflownet/{stage}/biases"] = (stage, 0, "b")
+  mapping["oflownet/flow/weights"] = ("head", "w")
+  mapping["oflownet/flow/biases"] = ("head", "b")
+  return mapping
+
+
+def kfnet_mapping(num_blocks: int = 14, num_encoder: int = 6) -> dict:
+  """Joint-model map: both subsystem maps re-rooted under the combined
+  pytree's ``scoordnet``/``oflownet`` keys (the reference's KFNet ckpt
+  holds both subgraphs — SURVEY.md §3.5 'loads both pretrained ckpts')."""
+  mapping = {}
+  for name, path in scoordnet_mapping(num_blocks).items():
+    mapping[name] = ("scoordnet",) + path
+  for name, path in oflownet_mapping(num_encoder).items():
+    mapping[name] = ("oflownet",) + path
+  return mapping
+
+
+def import_scoordnet(flat, template, strict: bool = True):
+  """One-call import of a TF1 SCoordNet checkpoint (flat npz dict)."""
+  n_blocks = _count_trunk_blocks(template)
+  return import_flat(flat, scoordnet_mapping(n_blocks), template,
+                     strict=strict)
+
+
+def import_oflownet(flat, template, strict: bool = True):
+  """One-call import of a TF1 OFlowNet checkpoint (flat npz dict)."""
+  return import_flat(flat, oflownet_mapping(len(template["encoder"])),
+                     template, strict=strict)
+
+
+def import_kfnet(flat, template, strict: bool = True):
+  """One-call import of a TF1 joint-KFNet checkpoint (flat npz dict)."""
+  n_blocks = _count_trunk_blocks(template["scoordnet"])
+  return import_flat(
+      flat,
+      kfnet_mapping(n_blocks, len(template["oflownet"]["encoder"])),
+      template, strict=strict)
+
+
+def _count_trunk_blocks(scoordnet_template) -> int:
+  """Trunk blocks = total serial entries minus head block + head conv."""
+  return len(scoordnet_template) - 2
+
+
 def import_flat(flat: Mapping[str, np.ndarray], mapping: Mapping[str, tuple],
                 template, strict: bool = True):
   """Copy TF1 variables into (a deep copy of) our param pytree.
@@ -76,9 +144,7 @@ def import_flat(flat: Mapping[str, np.ndarray], mapping: Mapping[str, tuple],
     new params pytree with mapped leaves replaced.
   """
   import copy
-  out = copy.deepcopy(
-      {"params": template})["params"] if isinstance(template, dict) else (
-          copy.deepcopy(template))
+  out = copy.deepcopy(template)
   imported, missing, mismatched = [], [], []
   for name, path in mapping.items():
     if name not in flat:

@@ -40,8 +40,11 @@ def test_chunked_streaming_matches_full():
   assert len(outs) == 9
   xs_c = np.stack([np.asarray(x) for x, _ in outs])
   Ps_c = np.stack([np.asarray(P) for _, P in outs])
+  # 1e-5: the chunked path compiles each chunk separately (incl. the
+  # first, since r2) — documented compile-order variance vs the one-scan
+  # reference (CLAUDE.md conventions).
   np.testing.assert_allclose(xs_c, np.asarray(xs_s), atol=1e-5)
-  np.testing.assert_allclose(Ps_c, np.asarray(Ps_s), atol=1e-6)
+  np.testing.assert_allclose(Ps_c, np.asarray(Ps_s), atol=1e-5)
 
 
 def test_resume_carry_matches_unbroken():

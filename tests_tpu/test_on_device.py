@@ -84,19 +84,27 @@ def test_fused_kernel_faster_than_xla_composition():
   pallas_step = jax.jit(
       lambda *a: fused_filter.fused_warp_kalman(*a, radius=4))
 
-  def bench(fn, reps=200):
+  def bench(fn, reps=100, k=9):
+    """Median of k timing batches — robust to the dispatch-noise spikes
+    that made a single-batch ratio flaky in round 1."""
     out = fn(*args)
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-      out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / reps
+    times = []
+    for _ in range(k):
+      t0 = time.perf_counter()
+      for _ in range(reps):
+        out = fn(*args)
+      sync(out)
+      times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times))
 
+  # interleave the two measurements so slow drift hits both equally
   t_xla = bench(xla_step)
   t_pl = bench(pallas_step)
+  t_xla = min(t_xla, bench(xla_step))
+  t_pl = min(t_pl, bench(pallas_step))
   print(f"xla {t_xla*1e6:.1f}us vs pallas {t_pl*1e6:.1f}us")
-  # gross-regression guard only: dispatch noise on these tiny maps makes a
-  # tight ratio flaky (observed 1.5x trip once across otherwise-identical
-  # runs); 2x still catches real kernel breakage.
-  assert t_pl < 2.0 * t_xla, (t_pl, t_xla)
+  # the north-star kernel must be at least at parity with the XLA
+  # composition (round 1 shipped a 2x bar, i.e. "allowed to lose" — the
+  # honest fix is robust timing, not a lower bar).
+  assert t_pl <= 1.1 * t_xla, (t_pl, t_xla)
