@@ -32,19 +32,25 @@ class SyntheticScene:
   wall_z: float = 3.0    # back wall (world plane z = wall_z)
 
 
-def make_scene(seed: int = 0, num_spheres: int = 48) -> SyntheticScene:
+def make_scene(seed: int = 0, num_spheres: int = 48,
+               scale: float = 1.0) -> SyntheticScene:
+  """``scale`` stretches all world geometry uniformly: scale≈20 gives a
+  Cambridge-like outdoor depth range (tens of meters — BASELINE config 4's
+  uncertainty-scaling stress case) while keeping the same image content
+  when the trajectory is scaled with it (texture frequencies divide by
+  scale so appearance stays resolution-matched)."""
   rng = np.random.default_rng(seed)
   centers = np.stack([
       rng.uniform(-2.0, 2.0, num_spheres),
       rng.uniform(-1.5, 1.5, num_spheres),
       rng.uniform(1.2, 2.8, num_spheres),
-  ], -1).astype(np.float32)
-  radii = rng.uniform(0.15, 0.45, num_spheres).astype(np.float32)
-  tex_freq = rng.uniform(3.0, 9.0, (3, 3)).astype(np.float32)
+  ], -1).astype(np.float32) * scale
+  radii = rng.uniform(0.15, 0.45, num_spheres).astype(np.float32) * scale
+  tex_freq = rng.uniform(3.0, 9.0, (3, 3)).astype(np.float32) / scale
   tex_phase = rng.uniform(0, 2 * np.pi, 3).astype(np.float32)
   return SyntheticScene(
       jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(tex_freq),
-      jnp.asarray(tex_phase))
+      jnp.asarray(tex_phase), wall_z=3.0 * scale)
 
 
 def _texture(scene: SyntheticScene, pw: jnp.ndarray) -> jnp.ndarray:
@@ -98,19 +104,21 @@ def render(scene: SyntheticScene, T_wc: jnp.ndarray, K: jnp.ndarray,
 
 
 def orbit_trajectory(num_frames: int, seed: int = 1,
-                     radius: float = 1.2) -> jnp.ndarray:
+                     radius: float = 1.2,
+                     scale: float = 1.0) -> jnp.ndarray:
   """Smooth camera trajectory: slow orbit in front of the scene, looking
-  at the scene center, with small smooth jitter. Returns (T, 4, 4) T_wc."""
+  at the scene center, with small smooth jitter. Returns (T, 4, 4) T_wc.
+  ``scale`` must match make_scene's (positions stretch with the world)."""
   rng = np.random.default_rng(seed)
   ts = np.linspace(0, 1, num_frames)
-  look_at = np.array([0.0, 0.0, 2.0], np.float32)
-  jitter = rng.normal(size=(3, 3)).astype(np.float32) * 0.05
+  look_at = np.array([0.0, 0.0, 2.0], np.float32) * scale
+  jitter = rng.normal(size=(3, 3)).astype(np.float32) * 0.05 * scale
   poses = []
   for i, s in enumerate(ts):
     ang = 0.6 * np.sin(2 * np.pi * s)
     pos = np.array([radius * np.sin(ang),
                     0.3 * np.sin(4 * np.pi * s),
-                    -1.0 + 0.2 * np.cos(2 * np.pi * s)], np.float32)
+                    -1.0 + 0.2 * np.cos(2 * np.pi * s)], np.float32) * scale
     pos = pos + (jitter @ np.array([np.sin(7 * s), np.cos(11 * s),
                                     np.sin(13 * s)], np.float32))
     fwd = look_at - pos
@@ -129,16 +137,19 @@ def orbit_trajectory(num_frames: int, seed: int = 1,
 
 
 def make_sequence(num_frames: int, height: int = 48, width: int = 64,
-                  seed: int = 0, fov_scale: float = 1.0):
+                  seed: int = 0, fov_scale: float = 1.0,
+                  scale: float = 1.0, traj_seed: int | None = None):
   """Render a full sequence: dict(images (T,H,W,3), depths (T,H,W),
-  poses (T,4,4), K (3,3))."""
-  scene = make_scene(seed)
+  poses (T,4,4), K (3,3)). ``scale`` > 1 gives an outdoor-scale world."""
+  scene = make_scene(seed, scale=scale)
   # scale 7-Scenes intrinsics to the requested resolution.
   sx, sy = width / 640.0, height / 480.0
   K = jnp.asarray([[585.0 * sx * fov_scale, 0.0, width / 2.0 - 0.5],
                    [0.0, 585.0 * sy * fov_scale, height / 2.0 - 0.5],
                    [0.0, 0.0, 1.0]], jnp.float32)
-  poses = orbit_trajectory(num_frames, seed=seed + 1)
+  poses = orbit_trajectory(
+      num_frames, seed=(seed + 1 if traj_seed is None else traj_seed),
+      scale=scale)
   render_fn = jax.jit(lambda T: render(scene, T, K, height, width))
   rgbs, depths = jax.vmap(render_fn)(poses)
   return {"images": rgbs, "depths": depths, "poses": poses, "K": K}

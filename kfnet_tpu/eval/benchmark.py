@@ -58,21 +58,30 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   results["filter_ms_per_frame"] = 1e3 * t / frames
   results["filtered_fps"] = frames / t
 
-  # Streaming mode (host frames → chunked jitted scan): both chunk entries
-  # are compiled, so this should sit within ~15% of the batch scan minus
-  # host-transfer cost (VERDICT r1 item 6 regression surface).
-  def stream_once():
+  # Streaming mode (chunked jitted scan; both chunk entries compiled).
+  # Two numbers: device-resident frames isolates the scan/dispatch cost
+  # (comparable to filtered_fps — VERDICT r1 item 6's regression surface),
+  # host frames additionally pays the host→device transfer (on this
+  # sandbox's ~90 MB/s tunnel that is the hard ceiling: ~25 fps at 640x480,
+  # not a property of the filter).
+  chunk = max(4, frames // 2 - 1)
+
+  def stream_once(frame_list):
     n, last = 0, None
-    for _, P in sequence.run_filter_chunked(
-        params, cfg, list(np.asarray(images)),
-        chunk_size=max(4, frames // 2 - 1)):
-      n, last = n + 1, P
-    sync(last)  # the yields are lazy device slices — force completion
+    for xs, _ in sequence.run_filter_chunked_arrays(
+        params, cfg, frame_list, chunk_size=chunk):
+      n, last = n + xs.shape[0], xs
+    sync(last)  # chunk outputs are async — force completion
     return n
 
-  stream_once()  # compile both chunk entries
+  host_frames = list(np.asarray(images))
+  device_frames = [images[i] for i in range(images.shape[0])]
+  stream_once(host_frames)  # compile both chunk entries
   t0 = time.perf_counter()
-  n = stream_once()
+  n = stream_once(device_frames)
+  results["streaming_fps_device"] = n / (time.perf_counter() - t0)
+  t0 = time.perf_counter()
+  n = stream_once(host_frames)
   results["streaming_fps"] = n / (time.perf_counter() - t0)
 
   # Serving mode: B independent sequences filtered in lockstep (time-major

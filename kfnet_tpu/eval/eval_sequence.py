@@ -128,30 +128,18 @@ def evaluate_sequence_streaming(params, config: kfnet.KFNetConfig,
           config=ransac_config)))
   xs_all, Ps_all, poses = [], [], []
   t0 = time.perf_counter()
-  buf_x, buf_P = [], []
 
-  def flush():
-    if not buf_x:
-      return
-    xs = jnp.stack(buf_x)
-    Ps = jnp.stack(buf_P)
+  from kfnet_tpu.filter import sequence as seq_lib
+  # whole-chunk consumption: maps stay on device between the filter and
+  # the PnP solve; no per-frame slicing (≈2 dispatches/frame saved).
+  for xs, Ps in seq_lib.run_filter_chunked_arrays(
+      params, config, frame_source, chunk_size=chunk_size):
     keys = jax.random.split(jax.random.fold_in(rng, len(poses)),
                             xs.shape[0])
     out = solve(xs, Ps, keys)
     poses.extend(np.asarray(out["T_wc"]))
     xs_all.append(np.asarray(xs))
     Ps_all.append(np.asarray(Ps))
-    buf_x.clear()
-    buf_P.clear()
-
-  from kfnet_tpu.filter import sequence as seq_lib
-  for x, P in seq_lib.run_filter_chunked(params, config, frame_source,
-                                         chunk_size=chunk_size):
-    buf_x.append(x)
-    buf_P.append(P)
-    if len(buf_x) == chunk_size:
-      flush()
-  flush()
   dt = time.perf_counter() - t0
   poses = np.stack(poses)
   result = EvalResult(

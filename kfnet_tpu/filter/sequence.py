@@ -82,25 +82,34 @@ def run_filter_first_jit(params, config, images, return_aux: bool = False):
                     return_aux=return_aux)
 
 
-def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
-                       chunk_size: int = 32):
+def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
+                              frame_source, chunk_size: int = 32):
   """Stream an arbitrarily long sequence through the jitted scan in
-  fixed-shape chunks (one compilation, O(chunk) HBM).
+  fixed-shape chunks (one compilation, O(chunk) HBM), yielding WHOLE
+  device-resident chunks: (xs (k, h, w, 3), Ps (k, h, w, 1)).
+
+  Chunk yields (not per-frame slices) matter on hosts with expensive
+  dispatch: slicing xs[i] per frame costs ~2 dispatches/frame, which on
+  this sandbox's ~5-10 ms tunnel caps streaming at ~60 fps regardless of
+  kernel speed. Consumers that really want per-frame items use
+  :func:`run_filter_chunked`.
 
   Args:
     frame_source: iterable of (H, W, 3) numpy/jnp frames.
-
-  Yields:
-    (x, P) posterior per frame, in order.
   """
   import numpy as np
+
+  def stack(chunk):
+    if isinstance(chunk[0], np.ndarray):
+      return jnp.asarray(np.stack(chunk))  # one host stack + one transfer
+    return jnp.stack(chunk)  # already on device: stays on device
 
   buf = []
   carry = None
   first = True
 
   def flush(chunk, carry, first):
-    imgs = jnp.asarray(np.stack(chunk))
+    imgs = stack(chunk)
     if first:
       # separate jitted entry (fixed chunk_size+1 shape → one compile)
       xs, Ps, carry = run_filter_first_jit(params, config, imgs)
@@ -115,27 +124,35 @@ def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
       xs, Ps, carry = flush(buf, carry, True)
       first = False
       buf = []
-      for i in range(xs.shape[0]):
-        yield xs[i], Ps[i]
+      yield xs, Ps
     elif not first and len(buf) == chunk_size:
       xs, Ps, carry = flush(buf, carry, False)
       buf = []
-      for i in range(xs.shape[0]):
-        yield xs[i], Ps[i]
+      yield xs, Ps
   if buf:
     # ragged tail: pad to chunk shape, then drop padded outputs.
     n = len(buf)
     if first:
       # whole sequence shorter than one chunk: single ragged compile
-      xs, Ps, _ = run_filter_first_jit(params, config,
-                                       jnp.asarray(np.stack(buf)))
-      for i in range(n):
-        yield xs[i], Ps[i]
+      xs, Ps, _ = run_filter_first_jit(params, config, stack(buf))
+      yield xs, Ps
     else:
       pad = [buf[-1]] * (chunk_size - n)
       xs, Ps, _ = flush(buf + pad, carry, False)
-      for i in range(n):
-        yield xs[i], Ps[i]
+      yield xs[:n], Ps[:n]
+
+
+def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
+                       chunk_size: int = 32):
+  """Per-frame wrapper over :func:`run_filter_chunked_arrays`.
+
+  Yields:
+    (x, P) posterior per frame, in order.
+  """
+  for xs, Ps in run_filter_chunked_arrays(params, config, frame_source,
+                                          chunk_size=chunk_size):
+    for i in range(xs.shape[0]):
+      yield xs[i], Ps[i]
 
 
 def run_filter_batched(params, config: kfnet.KFNetConfig,

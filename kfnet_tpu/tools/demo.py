@@ -23,51 +23,8 @@ from kfnet_tpu.pose import ransac
 from kfnet_tpu.train import objectives, trainer
 
 
-def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
-                  batch: int = 8, chunk: int = 250, seed: int = 0,
-                  tag: str = ""):
-  """Dispatch-efficient training: the whole (tiny) dataset lives on
-  device; each jit call runs ``chunk`` steps via lax.scan, gathering its
-  minibatches with on-device jnp.take — one host round trip per chunk
-  instead of per step (the tunnel costs ~5-10 ms per dispatch)."""
-  import jax.numpy as jnp
-  from functools import partial
-
-  opt = trainer.make_optimizer(trainer.OptimizerConfig(learning_rate=lr))
-  state = trainer.create_state(params, opt)
-  data = jax.device_put(data)
-  n = next(iter(data.values())).shape[0]
-
-  def one_step(s, idx):
-    b = jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), data)
-    (loss, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(s.params, b)
-    updates, opt_state = opt.update(grads, s.opt_state, s.params)
-    import optax
-    new_params = optax.apply_updates(s.params, updates)
-    return trainer.TrainState(step=s.step + 1, params=new_params,
-                              opt_state=opt_state), metrics
-
-  @partial(jax.jit, donate_argnums=(0,))
-  def run_chunk(s, idxs):
-    s, ms = jax.lax.scan(one_step, s, idxs)
-    return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
-
-  rng = np.random.default_rng(seed)
-  done = 0
-  m = {}
-  while done < steps:
-    k = min(chunk, steps - done)
-    # k rows exactly: a short tail costs one extra compile but never
-    # trains more steps than requested.
-    idxs = jnp.asarray(rng.integers(0, n, size=(k, batch)))
-    state, m = run_chunk(state, idxs)
-    done += k
-    print(f"{tag} step {done}: " + " ".join(
-        f"{key}={float(val):.4f}" for key, val in sorted(m.items())
-        if key in ("coord_err_m", "warp_err_m", "loss", "supervised_frac")),
-        flush=True)
-  return state, m
+# shared with tools/protocol.py (the multi-scene dress rehearsal)
+from kfnet_tpu.train.device_fit import fit_on_device  # noqa: E402
 
 
 def consistency_experiment(params, cfg, scene, K, H, W, n_frames=48):
@@ -86,7 +43,10 @@ def consistency_experiment(params, cfg, scene, K, H, W, n_frames=48):
 
   jump = n_frames // 2
   tA = synthetic.orbit_trajectory(n_frames, seed=99)
-  tB = synthetic.orbit_trajectory(n_frames, seed=77, radius=0.7)
+  # teleport a third of the orbit ahead at the splice: the camera position
+  # and viewing angle change abruptly (a REAL jump — two different-seed
+  # orbits only differ by small jitter, which is no jump at all)
+  tB = jnp.roll(tA, -n_frames // 3, axis=0)
   poses = jnp.concatenate([tA[:jump], tB[jump:]], axis=0)
   render = jax.jit(lambda T: synthetic.render(scene, T, K, H, W))
   imgs, depths = jax.vmap(render)(poses)

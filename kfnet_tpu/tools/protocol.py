@@ -1,0 +1,231 @@
+"""Multi-scene dress rehearsal of the FULL 3-stage KFNet training recipe
+(SURVEY.md §1 "Training recipe" a→d; VERDICT r1 items 3 and 8) on
+procedural synthetic scenes — the closest feasible stand-in for the
+7-Scenes acceptance protocol while the dataset mount is empty.
+
+  stage 1  SCoordNet per scene (every scene, incl. held-out + outdoor)
+  stage 2  ONE OFlowNet per "dataset" trained across that dataset's
+           training scenes, EXCLUDING the held-out scene — OFlowNet is
+           scene-agnostic (paper §4.2), so eval on the held-out scene
+           with the frozen net tests the transfer claim directly.
+  stage 3  joint filtering fine-tune per training scene.
+  eval     recursive filter + PnP per scene: filtered vs measurement-only
+           medians; the held-out row uses an OFlowNet that never saw the
+           scene, the outdoor row runs at Cambridge-like world scale
+           (coord_scale ≈ 20x, depth tens of meters — BASELINE config 4's
+           uncertainty-scaling stress).
+
+    python -m kfnet_tpu.tools.protocol [--report report.json] [--fast]
+
+Runs in ~15 min on a TPU chip at the default sizes; --fast is the
+CI-slow miniature.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import numpy as np
+
+from kfnet_tpu.data import labels, synthetic
+from kfnet_tpu.eval import eval_sequence
+from kfnet_tpu.models import kfnet, oflownet, scoordnet
+from kfnet_tpu.pose import ransac
+from kfnet_tpu.train import objectives
+from kfnet_tpu.train.device_fit import fit_on_device
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+  name: str
+  seed: int
+  scale: float = 1.0        # world scale (20 ≈ Cambridge outdoor)
+  dataset: str = "indoor"   # OFlowNet is trained per dataset
+  held_out: bool = False    # excluded from OFlowNet (+joint) training
+
+
+DEFAULT_SCENES = (
+    SceneSpec("sceneA", seed=0),
+    SceneSpec("sceneB", seed=10),
+    SceneSpec("sceneC", seed=20),
+    SceneSpec("heldout", seed=30, held_out=True),
+    # outdoor "dataset": OFlowNet trains on outdoor_train only, so the
+    # outdoor eval scene is ALSO a transfer test at 20x coordinate scale.
+    SceneSpec("outdoor_train", seed=50, scale=20.0, dataset="outdoor"),
+    SceneSpec("outdoor", seed=40, scale=20.0, dataset="outdoor",
+              held_out=True),
+)
+
+
+def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
+  train = synthetic.make_sequence(train_frames, height=H, width=W,
+                                  seed=spec.seed, scale=spec.scale,
+                                  traj_seed=spec.seed + 1)
+  test = synthetic.make_sequence(test_frames, height=H, width=W,
+                                 seed=spec.seed, scale=spec.scale,
+                                 traj_seed=spec.seed + 99)
+  max_depth = 10.0 * spec.scale
+  lab = jax.vmap(lambda d, T: labels.generate(
+      d, train["K"], T, stride=8, max_depth=max_depth))
+  coords, valid = lab(train["depths"], train["poses"])
+  tcoords, tvalid = lab(test["depths"], test["poses"])
+  return {"spec": spec, "train": train, "test": test,
+          "coords": coords, "valid": valid,
+          "test_coords": tcoords, "test_valid": tvalid}
+
+
+def _small_sc_cfg(mean, std):
+  return scoordnet.SCoordNetConfig(
+      channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
+      head_channels=64, compute_dtype="float32",
+      coord_offset=tuple(map(float, mean)), coord_scale=float(std))
+
+
+def _small_of_cfg():
+  return oflownet.OFlowNetConfig(
+      encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
+      search_radius=2, unet_channels=(16, 16, 32),
+      compute_dtype="float32")
+
+
+def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
+                 sc_steps=1200, of_steps=1000, joint_steps=200,
+                 lr=2e-3, scenes=DEFAULT_SCENES, log=print):
+  """Returns the per-scene report list (see module docstring)."""
+  data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
+          for s in scenes}
+
+  # ---- stage 1: SCoordNet per scene -------------------------------------
+  sc = {}
+  for s in scenes:
+    d = data[s.name]
+    mean, std = labels.scene_statistics([np.asarray(d["coords"])],
+                                        [np.asarray(d["valid"])])
+    cfg = _small_sc_cfg(mean, std)
+    params = scoordnet.init(jax.random.key(s.seed + 7), cfg, (H, W, 3))
+    loss_fn = objectives.scoordnet_objective(cfg)
+    batch = {"image": d["train"]["images"], "coords": d["coords"],
+             "valid": d["valid"]}
+    state, m = fit_on_device(loss_fn, params, batch, sc_steps, lr,
+                             tag=f"stage1[{s.name}]", log=log)
+    sc[s.name] = (cfg, state.params, m)
+
+  # ---- stage 2: one OFlowNet per dataset, held-out scenes excluded ------
+  of = {}
+  of_train_scenes = {}
+  for dataset in sorted({s.dataset for s in scenes}):
+    members = [s for s in scenes if s.dataset == dataset and not s.held_out]
+    of_train_scenes[dataset] = [s.name for s in members]
+    pair = {k: [] for k in ("image_prev", "image", "coords_prev",
+                            "valid_prev", "coords", "valid")}
+    for s in members:
+      d = data[s.name]
+      pair["image_prev"].append(np.asarray(d["train"]["images"][:-1]))
+      pair["image"].append(np.asarray(d["train"]["images"][1:]))
+      pair["coords_prev"].append(np.asarray(d["coords"][:-1]))
+      pair["valid_prev"].append(np.asarray(d["valid"][:-1]))
+      pair["coords"].append(np.asarray(d["coords"][1:]))
+      pair["valid"].append(np.asarray(d["valid"][1:]))
+    pair = {k: np.concatenate(v) for k, v in pair.items()}
+    cfg = _small_of_cfg()
+    params = oflownet.init(jax.random.key(101), cfg, (H, W, 3))
+    loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
+    state, m = fit_on_device(loss_fn, params, pair, of_steps, lr,
+                             tag=f"stage2[{dataset}]", seed=1, log=log)
+    of[dataset] = (cfg, state.params, m)
+
+  # ---- stage 3: joint fine-tune per training scene ----------------------
+  joint = {}
+  for s in scenes:
+    sc_cfg, sc_params, _ = sc[s.name]
+    of_cfg, of_params, _ = of[s.dataset]
+    cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
+    params = {"scoordnet": sc_params, "oflownet": of_params}
+    if joint_steps > 0 and not s.held_out:
+      d = data[s.name]
+      pair = {"image_prev": d["train"]["images"][:-1],
+              "image": d["train"]["images"][1:],
+              "coords": d["coords"][1:], "valid": d["valid"][1:]}
+      state, _ = fit_on_device(
+          objectives.kfnet_objective(cfg), params, pair, joint_steps,
+          lr * 0.1, batch=4, tag=f"stage3[{s.name}]", seed=2, log=log)
+      params = state.params
+    joint[s.name] = (cfg, params)
+
+  # ---- eval: filtered vs measurement-only per scene ---------------------
+  rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
+  reports = []
+  for s in scenes:
+    cfg, params = joint[s.name]
+    d = data[s.name]
+    K = d["train"]["K"]
+    gt = np.asarray(d["test"]["poses"])
+    res_m = eval_sequence.evaluate_measurement_only(
+        params, cfg, d["test"]["images"], K, gt_poses=gt,
+        scene=s.name, ransac_config=rcfg)
+    res_f = eval_sequence.evaluate_sequence(
+        params, cfg, d["test"]["images"], K, gt_poses=gt,
+        scene=s.name, ransac_config=rcfg)
+    acc_f = eval_sequence.coord_accuracy_report(
+        res_f.coords, np.asarray(d["test_coords"]),
+        np.asarray(d["test_valid"]))
+    # stage-2 NLL on this scene's pairs with its dataset's frozen OFlowNet
+    # (the outdoor rows prove the loss stays finite at 20x coord scale).
+    of_cfg, of_params, of_m = of[s.dataset]
+    row = {
+        "scene": s.name,
+        "dataset": s.dataset,
+        "held_out": s.held_out,
+        "world_scale": s.scale,
+        "oflownet_trained_on": of_train_scenes[s.dataset],
+        "coord_scale": joint[s.name][0].scoordnet.coord_scale,
+        "median_translation_m": res_f.report["median_translation_m"],
+        "median_rotation_deg": res_f.report["median_rotation_deg"],
+        "accuracy_5cm_5deg": res_f.report["accuracy_5cm_5deg"],
+        "measurement_only_translation_m":
+            res_m.report["median_translation_m"],
+        "measurement_only_rotation_deg":
+            res_m.report["median_rotation_deg"],
+        "median_coord_err_m": acc_f["median_coord_err_m"],
+        "stage2_final_loss": float(of_m["loss"]),
+        "frames": int(test_frames),
+    }
+    reports.append(row)
+    if log:
+      log(json.dumps(row))
+  return reports
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument("--report", default="")
+  p.add_argument("--height", type=int, default=96)
+  p.add_argument("--width", type=int, default=128)
+  p.add_argument("--train_frames", type=int, default=48)
+  p.add_argument("--test_frames", type=int, default=48)
+  p.add_argument("--sc_steps", type=int, default=1200)
+  p.add_argument("--of_steps", type=int, default=1000)
+  p.add_argument("--joint_steps", type=int, default=200)
+  p.add_argument("--learning_rate", type=float, default=2e-3)
+  p.add_argument("--fast", action="store_true",
+                 help="miniature run (CI-slow scale)")
+  args = p.parse_args(argv)
+  kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
+            test_frames=args.test_frames, sc_steps=args.sc_steps,
+            of_steps=args.of_steps, joint_steps=args.joint_steps,
+            lr=args.learning_rate)
+  if args.fast:
+    kw.update(H=48, W=64, train_frames=24, test_frames=16,
+              sc_steps=300, of_steps=250, joint_steps=50)
+  reports = run_protocol(**kw)
+  if args.report:
+    with open(args.report, "w") as f:
+      json.dump({"scenes": reports}, f, indent=2)
+  return reports
+
+
+if __name__ == "__main__":
+  main()

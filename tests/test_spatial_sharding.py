@@ -1,0 +1,70 @@
+"""Spatial model parallelism on the virtual 8-device CPU mesh
+(VERDICT r1 item 7; SURVEY.md §5 "Spatial dim can shard over devices…
+halo exchange"): the shard_map cost volume with explicit ppermute halos,
+and the whole GSPMD-partitioned filter, must match single-device output.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kfnet_tpu.kernels.cost_volume import cost_volume
+from kfnet_tpu.parallel import mesh as mesh_lib
+from kfnet_tpu.parallel import spatial
+from tests import tiny_configs as tc
+
+
+@pytest.fixture(scope="module")
+def mesh():
+  assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+  return mesh_lib.make_mesh(8)
+
+
+@pytest.mark.parametrize("radius", [1, 2, 4])
+def test_cost_volume_halo_exchange_matches_unsharded(mesh, radius):
+  """W sharded 8-way; every correlation whose window crosses a shard
+  boundary must see its neighbor's columns via the ppermute halos."""
+  rng = np.random.default_rng(0)
+  h, w, c = 12, 32, 16  # w/8 = 4 columns per shard < window width ⇒ the
+  # halo path is exercised hard (windows span up to 3 shards at r=4...
+  # which a single r-halo cannot serve — so only radii ≤ w/8 are valid)
+  fp = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+  fc = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+  ref = cost_volume(fp, fc, radius)
+  out = spatial.cost_volume_spatial(fp, fc, radius, mesh)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=1e-6, atol=1e-6)
+
+
+def test_cost_volume_spatial_is_actually_sharded(mesh):
+  rng = np.random.default_rng(1)
+  fp = jnp.asarray(rng.normal(size=(8, 32, 8)).astype(np.float32))
+  fc = jnp.asarray(rng.normal(size=(8, 32, 8)).astype(np.float32))
+  out = spatial.cost_volume_spatial(fp, fc, 2, mesh)
+  shards = out.addressable_shards
+  assert len(shards) == 8
+  assert all(s.data.shape[1] == 4 for s in shards)
+
+
+def test_full_filter_spatially_sharded_matches_single_device(mesh):
+  """GSPMD-partitioned whole filter (convs, cost-volume shifts, warp,
+  Kalman) with W sharded 8-way ≡ the single-device scan."""
+  cfg = tc.tiny_kfnet()
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+
+  # W=128 ⇒ 1/8-res w=16 ⇒ 2 columns per shard
+  imgs = tc.random_images(4, seed=5, shape=(48, 128, 3))
+  params = kfnet.init(jax.random.key(0), cfg, (48, 128, 3))
+
+  xs_ref, Ps_ref, _ = jax.jit(
+      lambda p, im: sequence.run_filter(p, cfg, im))(params, imgs)
+  xs, Ps = spatial.run_filter_spatial(params, cfg, imgs, mesh)
+
+  # sharded along the map W axis
+  assert len(xs.addressable_shards) == 8
+  assert all(s.data.shape[2] == 2 for s in xs.addressable_shards)
+
+  np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref), atol=2e-5)
