@@ -97,7 +97,11 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
 
   host_frames = list(np.asarray(images))
   device_frames = [images[i] for i in range(images.shape[0])]
-  stream_once(host_frames)  # compile both chunk entries
+  # warm up BOTH variants: they compile different tiny stack/concat ops,
+  # and a first-use op compile inside the timed region dominates the
+  # measurement on this backend.
+  stream_once(host_frames)
+  stream_once(device_frames)
   t0 = time.perf_counter()
   n = stream_once(device_frames)
   results["streaming_fps_device"] = n / (time.perf_counter() - t0)

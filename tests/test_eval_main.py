@@ -45,3 +45,54 @@ def test_eval_main_cli(tmp_path, monkeypatch):
   d = np.load(os.path.join(dump_dir, "seq-01", "frame-000002.npz"))
   assert d["coords"].shape == (6, 8, 3)
   assert d["pose"].shape == (4, 4)
+
+
+def test_eval_main_cli_streaming(tmp_path, monkeypatch):
+  """--streaming: same CLI surface through the chunked O(chunk)-memory
+  evaluator, with a chunk smaller than the sequence so the resumable-carry
+  path runs; results must agree with the batch scan to compile-order
+  tolerance."""
+  from kfnet_tpu.eval import main as eval_main
+  from kfnet_tpu.models import kfnet
+  from tests import tiny_configs as tc
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=6)
+
+  def tiny_load(exp, image_shape, sc, of, seed=0):
+    cfg = tc.tiny_kfnet()
+    import jax
+    return cfg, kfnet.init(jax.random.key(0), cfg, image_shape)
+
+  monkeypatch.setattr(eval_main, "load_pretrained", tiny_load)
+  common = ["--input_folder", root, "--scene", "chess"]
+  rep_s = eval_main.main(common + ["--streaming", "--chunk_size", "2"])[0]
+  rep_b = eval_main.main(common)[0]
+  assert rep_s["frames"] == 6
+  np.testing.assert_allclose(rep_s["median_coord_err_m"],
+                             rep_b["median_coord_err_m"], atol=1e-4)
+
+
+def test_eval_main_cli_chi2_override(tmp_path, monkeypatch):
+  from kfnet_tpu.eval import main as eval_main
+  from kfnet_tpu.models import kfnet
+  from tests import tiny_configs as tc
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=3)
+  captured = {}
+
+  def tiny_load(exp, image_shape, sc, of, seed=0):
+    cfg = tc.tiny_kfnet()
+    import jax
+    return cfg, kfnet.init(jax.random.key(0), cfg, image_shape)
+
+  monkeypatch.setattr(eval_main, "load_pretrained", tiny_load)
+  orig = eval_main.eval_sequence.evaluate_sequence
+
+  def spy(params, cfg, *a, **kw):
+    captured["threshold"] = cfg.chi2_threshold
+    return orig(params, cfg, *a, **kw)
+
+  monkeypatch.setattr(eval_main.eval_sequence, "evaluate_sequence", spy)
+  eval_main.main(["--input_folder", root, "--scene", "chess",
+                  "--chi2_threshold", "11.34"])
+  assert captured["threshold"] == 11.34

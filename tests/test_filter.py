@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kfnet_tpu.filter import sequence
 from kfnet_tpu.models import kfnet
@@ -85,3 +86,29 @@ def test_filter_reduces_noise_toy():
   # wherever the consistency test kept fusing (static scene -> everywhere).
   assert float(jnp.mean(Ps[-1])) < float(jnp.mean(V))
   assert float(jnp.mean(Ps[3])) <= float(jnp.mean(Ps[1])) + 1e-6
+
+
+@pytest.mark.slow
+def test_long_sequence_streaming_soak():
+  """O(1)-memory long-context proof (SURVEY.md §5): stream a sequence two
+  orders of magnitude longer than a chunk through the chunked filter; only
+  fixed-shape chunk compiles may exist, state must stay finite, and the
+  posterior variance must stay in a sane band (no drift/blow-up)."""
+  cfg, params, _ = _setup(T=2)
+  T = 1500
+  rng = np.random.default_rng(0)
+
+  def frames():
+    for _ in range(T):
+      yield rng.uniform(0, 1, tc.IMG).astype(np.float32)
+
+  n = 0
+  last_P = None
+  for xs, Ps in sequence.run_filter_chunked_arrays(
+      params, cfg, frames(), chunk_size=16):
+    n += xs.shape[0]
+    last_P = Ps
+  assert n == T
+  P = np.asarray(last_P[-1])
+  assert np.isfinite(P).all() and (P > 0).all()
+  assert P.max() < 1e6  # covariance bounded after 1500 recursions
