@@ -114,6 +114,11 @@ class TrainLoopConfig:
   checkpoint_every: int = 5000
   checkpoint_dir: str | None = None
   keep_checkpoints: int = 3
+  # >1: stack K host batches and run K optimizer steps per jit dispatch
+  # (make_multi_train_step) — amortizes the per-call dispatch cost
+  # (~5-10 ms on this sandbox's TPU tunnel). log/checkpoint cadence then
+  # quantizes to multiples of K.
+  steps_per_dispatch: int = 1
 
 
 def fit(loss_fn: Callable,
@@ -148,22 +153,48 @@ def fit(loss_fn: Callable,
   if mesh is not None:
     state = mesh_lib.replicate_tree(mesh, state)
 
-  train_step = make_train_step(loss_fn, optimizer)
+  K = max(1, loop_cfg.steps_per_dispatch)
+  if K > 1:
+    multi_step = make_multi_train_step(loss_fn, optimizer)
+    single_iter = iter(batches)
+
+    def grouped():
+      while True:
+        group = []
+        try:
+          for _ in range(K):
+            group.append(next(single_iter))
+        except StopIteration:
+          return
+        yield jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group)
+
+    batches = grouped()
+    train_step = multi_step
+  else:
+    train_step = make_train_step(loss_fn, optimizer)
   t0 = time.time()
   start_step = int(state.step)
   for batch in batches:
     if int(state.step) >= loop_cfg.max_steps:
       break
     if mesh is not None:
-      batch = mesh_lib.shard_batch(mesh, batch)
+      if K > 1:
+        # stacked (K, B, ...) batches shard on the BATCH axis (axis 1)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data"))
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batch)
+      else:
+        batch = mesh_lib.shard_batch(mesh, batch)
     state, metrics = train_step(state, batch)
     step = int(state.step)
-    if step % loop_cfg.log_every == 0:
+    if step % loop_cfg.log_every < K:  # fires once per window for K>1
       metrics = {k: float(v) for k, v in metrics.items()}
       dt = time.time() - t0
       sps = (step - start_step) / max(dt, 1e-9)
       logger.log_metrics(step, {**metrics, "steps_per_sec": sps})
-    if ckpt and step % loop_cfg.checkpoint_every == 0:
+    if ckpt and step % loop_cfg.checkpoint_every < K:
       ckpt.save(step, state)
   if ckpt:
     ckpt.save(int(state.step), state, force=True)

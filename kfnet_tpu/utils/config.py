@@ -73,6 +73,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
   parser.add_argument("--decay_steps", type=int, default=100_000)
   parser.add_argument("--decay_rate", type=float, default=0.5)
   parser.add_argument("--seed", type=int, default=0)
+  parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                      help="optimizer steps per jit dispatch (scan); >1 "
+                           "amortizes host dispatch cost")
   return parser
 
 
@@ -87,6 +90,7 @@ def from_args(args: argparse.Namespace) -> ExperimentConfig:
           learning_rate=args.learning_rate,
           decay_steps=args.decay_steps,
           decay_rate=args.decay_rate),
-      loop=TrainLoopConfig(max_steps=args.max_steps),
+      loop=TrainLoopConfig(max_steps=args.max_steps,
+                           steps_per_dispatch=args.steps_per_dispatch),
       seed=args.seed,
   )
