@@ -53,16 +53,28 @@ def durand_kerner_quartic(coeffs: jnp.ndarray, iters: int = 40):
   return jax.lax.fori_loop(0, iters, step, z0)
 
 
+def _triad(P: jnp.ndarray) -> jnp.ndarray:
+  """Orthonormal basis (columns) from 3 points: u1 along P1-P0, u3 the
+  plane normal, u2 = u3 x u1. Collinear points give garbage-but-finite."""
+  a = P[1] - P[0]
+  b = P[2] - P[0]
+  u1 = a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+  n = jnp.cross(a, b)
+  u3 = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+  u2 = jnp.cross(u3, u1)
+  return jnp.stack([u1, u2, u3], axis=-1)
+
+
 def _kabsch_w2c(Xw: jnp.ndarray, Pc: jnp.ndarray):
-  """Rigid transform with Pc ≈ R·Xw + t from 3 correspondences."""
-  cw = jnp.mean(Xw, axis=0)
-  cc = jnp.mean(Pc, axis=0)
-  H = (Xw - cw).T @ (Pc - cc)
-  u, _, vt = jnp.linalg.svd(H)
-  d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
-  D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * jnp.asarray([1.0, 1.0, d]))
-  R = vt.T @ D @ u.T
-  t = cc - R @ cw
+  """Rigid transform with Pc ≈ R·Xw + t from 3 correspondences.
+
+  Triad construction (R = B_c·B_wᵀ from matched orthonormal frames) —
+  exact for rigid 3-point correspondences and pure closed-form vector
+  math. The earlier 3x3 SVD route was the P3P path's dominant cost on
+  TPU (batched tiny SVDs are iterative QR), and a Newton polar iteration
+  can't replace it here because centered 3-point H is always rank-2."""
+  R = _triad(Pc) @ _triad(Xw).T
+  t = jnp.mean(Pc, axis=0) - R @ jnp.mean(Xw, axis=0)
   return R, t
 
 

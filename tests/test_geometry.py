@@ -94,3 +94,25 @@ def test_invert_pose():
   T = jnp.asarray(random_pose(rng))
   np.testing.assert_allclose(
       np.asarray(T @ geo.invert_pose(T)), np.eye(4), atol=1e-5)
+
+
+def test_polar_rotation_matches_svd_reference():
+  """Newton polar iteration == SVD projection for det>0 near-rotations
+  (the regime our solvers feed it); exact rotations are fixed points."""
+  rng = np.random.default_rng(7)
+  for _ in range(20):
+    w = rng.normal(size=3).astype(np.float32)
+    R = np.asarray(geo.axis_angle_to_matrix(jnp.asarray(w)))
+    M = R + rng.normal(size=(3, 3)).astype(np.float32) * 0.05
+    if np.linalg.det(M) <= 0.05:
+      continue
+    got = np.asarray(geo.polar_rotation(jnp.asarray(M)))
+    ref = np.asarray(geo.orthonormalize_rotation_svd(jnp.asarray(M)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    np.testing.assert_allclose(got @ got.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(got) > 0.99
+
+
+def test_polar_rotation_degenerate_stays_finite():
+  out = np.asarray(geo.polar_rotation(jnp.zeros((3, 3))))
+  assert np.isfinite(out).all()
