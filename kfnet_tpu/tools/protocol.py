@@ -84,6 +84,12 @@ def _small_sc_cfg(mean, std):
       coord_offset=tuple(map(float, mean)), coord_scale=float(std))
 
 
+def _full_sc_cfg(mean, std):
+  return dataclasses.replace(
+      scoordnet.SCoordNetConfig(),
+      coord_offset=tuple(map(float, mean)), coord_scale=float(std))
+
+
 def _small_of_cfg():
   return oflownet.OFlowNetConfig(
       encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
@@ -93,10 +99,20 @@ def _small_of_cfg():
 
 def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  sc_steps=1200, of_steps=1000, joint_steps=200,
-                 lr=2e-3, scenes=DEFAULT_SCENES, log=print):
-  """Returns the per-scene report list (see module docstring)."""
+                 lr=2e-3, scenes=DEFAULT_SCENES, log=print,
+                 full_size=False):
+  """Returns the per-scene report list (see module docstring).
+
+  full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
+  OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams)."""
   data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
           for s in scenes}
+  sc_cfg_fn = _full_sc_cfg if full_size else _small_sc_cfg
+  of_cfg_fn = oflownet.OFlowNetConfig if full_size else _small_of_cfg
+  # batch/chunk mirror demo --full_size (proven at 640x480 on one chip)
+  sc_batch, sc_chunk = 8, 250
+  joint_batch = 2 if full_size else 4
+  joint_chunk = 50 if full_size else 250
 
   # ---- stage 1: SCoordNet per scene -------------------------------------
   sc = {}
@@ -104,12 +120,13 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     d = data[s.name]
     mean, std = labels.scene_statistics([np.asarray(d["coords"])],
                                         [np.asarray(d["valid"])])
-    cfg = _small_sc_cfg(mean, std)
+    cfg = sc_cfg_fn(mean, std)
     params = scoordnet.init(jax.random.key(s.seed + 7), cfg, (H, W, 3))
     loss_fn = objectives.scoordnet_objective(cfg)
     batch = {"image": d["train"]["images"], "coords": d["coords"],
              "valid": d["valid"]}
     state, m = fit_on_device(loss_fn, params, batch, sc_steps, lr,
+                             batch=sc_batch, chunk=sc_chunk,
                              tag=f"stage1[{s.name}]", log=log)
     sc[s.name] = (cfg, state.params, m)
 
@@ -130,7 +147,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
       pair["coords"].append(np.asarray(d["coords"][1:]))
       pair["valid"].append(np.asarray(d["valid"][1:]))
     pair = {k: np.concatenate(v) for k, v in pair.items()}
-    cfg = _small_of_cfg()
+    cfg = of_cfg_fn()
     params = oflownet.init(jax.random.key(101), cfg, (H, W, 3))
     loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
     state, m = fit_on_device(loss_fn, params, pair, of_steps, lr,
@@ -151,12 +168,17 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
               "coords": d["coords"][1:], "valid": d["valid"][1:]}
       state, _ = fit_on_device(
           objectives.kfnet_objective(cfg), params, pair, joint_steps,
-          lr * 0.1, batch=4, tag=f"stage3[{s.name}]", seed=2, log=log)
+          lr * 0.1, batch=joint_batch, chunk=joint_chunk,
+          tag=f"stage3[{s.name}]", seed=2, log=log)
       params = state.params
     joint[s.name] = (cfg, params)
 
   # ---- eval: filtered vs measurement-only per scene ---------------------
-  rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
+  if full_size:  # mirrors demo --full_size
+    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=1024,
+                               solver="p3p", inlier_threshold_px=8.0)
+  else:
+    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
   reports = []
   for s in scenes:
     cfg, params = joint[s.name]
@@ -212,6 +234,10 @@ def main(argv=None):
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--fast", action="store_true",
                  help="miniature run (CI-slow scale)")
+  p.add_argument("--full_size", action="store_true",
+                 help="flagship 23.6M-param bf16 nets at 640x480 (the "
+                      "acceptance-protocol dress rehearsal; ~2-3 h on a "
+                      "TPU chip). Overrides size/step flags.")
   args = p.parse_args(argv)
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
             test_frames=args.test_frames, sc_steps=args.sc_steps,
@@ -220,6 +246,11 @@ def main(argv=None):
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)
+  if args.full_size:
+    kw.update(H=480, W=640, full_size=True, lr=3e-4,
+              sc_steps=max(args.sc_steps, 3000),
+              of_steps=max(args.of_steps, 2000),
+              joint_steps=400 if args.joint_steps == 200 else args.joint_steps)
   reports = run_protocol(**kw)
   if args.report:
     with open(args.report, "w") as f:
