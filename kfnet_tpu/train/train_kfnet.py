@@ -56,6 +56,42 @@ def load_pretrained(exp: config_lib.ExperimentConfig, image_shape,
   return cfg, params
 
 
+def make_window_loaders(exp: config_lib.ExperimentConfig, scenes,
+                        window: int):
+  """T-frame sliding-window examples for the BPTT objective
+  (images (T, H, W, 3), coords/valid (T, h, w[, 3]) per example)."""
+  import functools
+
+  import numpy as np
+
+  from kfnet_tpu.data import labels, registry
+  adapter = registry.get(exp.dataset.name)
+  load_fns = []
+  for scene in scenes:
+    if adapter.name == "cambridge":
+      split = adapter.load_split(exp.input_folder, scene, "train")
+    else:
+      split = adapter.load_split(exp.input_folder, scene, "train",
+                                 intrinsics=exp.dataset.intrinsics)
+    K = split.intrinsics
+
+    def load_window(frames, K=K, split=split):
+      exs = [adapter.load_frame_with_split(split, fr) for fr in frames]
+      cs, vs = zip(*[labels.generate(
+          np.asarray(e["depth"]), K, e["pose"], stride=exp.dataset.stride,
+          min_depth=exp.dataset.min_depth, max_depth=exp.dataset.max_depth)
+          for e in exs])
+      return {"images": np.stack([e["image"] for e in exs]),
+              "coords": np.stack([np.asarray(c) for c in cs]),
+              "valid": np.stack([np.asarray(v) for v in vs])}
+
+    for seq_frames in adapter.iter_sequences(split):
+      for i in range(len(seq_frames) - window + 1):
+        load_fns.append(functools.partial(
+            load_window, seq_frames[i:i + window]))
+  return load_fns
+
+
 def main(argv=None):
   parser = config_lib.add_common_flags(argparse.ArgumentParser())
   parser.add_argument("--scoordnet_ckpt", default="")
@@ -63,6 +99,10 @@ def main(argv=None):
   parser.add_argument("--posterior_weight", type=float, default=1.0)
   parser.add_argument("--measurement_weight", type=float, default=0.5)
   parser.add_argument("--prior_weight", type=float, default=0.5)
+  parser.add_argument("--window_size", type=int, default=2,
+                      help=">2 trains the T-frame BPTT window objective "
+                           "(kfnet_window_objective) instead of the "
+                           "2-frame pair objective")
   args = parser.parse_args(argv)
   exp = config_lib.from_args(args)
 
@@ -74,9 +114,12 @@ def main(argv=None):
       posterior=args.posterior_weight,
       measurement=args.measurement_weight,
       prior=args.prior_weight)
-  loss_fn = objectives.kfnet_objective(cfg, weights)
-
-  load_fns = make_pair_loaders(exp, [exp.scene])
+  if args.window_size > 2:
+    loss_fn = objectives.kfnet_window_objective(cfg, weights)
+    load_fns = make_window_loaders(exp, [exp.scene], args.window_size)
+  else:
+    loss_fn = objectives.kfnet_objective(cfg, weights)
+    load_fns = make_pair_loaders(exp, [exp.scene])
   out_dir = os.path.join(exp.model_folder, f"kfnet_{exp.scene}")
   logger = log_lib.MetricLogger(
       jsonl_path=os.path.join(out_dir, "metrics.jsonl"),

@@ -62,3 +62,19 @@ def test_train_oflownet_multiscene_dp(tmp_path):
       "--max_steps", "2",
   ])
   assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_train_kfnet_cli_window_bptt(tmp_path):
+  """--window_size 3: the T-frame BPTT objective through the joint CLI."""
+  from kfnet_tpu.train import train_kfnet
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=6)
+  model_dir = str(tmp_path / "models")
+  state = train_kfnet.main([
+      "--input_folder", root, "--scene", "chess",
+      "--model_folder", model_dir,
+      "--batch_size", "2", "--max_steps", "2",
+      "--window_size", "3",
+  ])
+  assert int(state.step) == 2
