@@ -136,17 +136,20 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
   for dataset in sorted({s.dataset for s in scenes}):
     members = [s for s in scenes if s.dataset == dataset and not s.held_out]
     of_train_scenes[dataset] = [s.name for s in members]
+    # stays ON DEVICE: a host round trip here costs ~25 min at full size
+    # on this sandbox's ~90 MB/s tunnel (images are ~1 GB per dataset)
+    import jax.numpy as jnp
     pair = {k: [] for k in ("image_prev", "image", "coords_prev",
                             "valid_prev", "coords", "valid")}
     for s in members:
       d = data[s.name]
-      pair["image_prev"].append(np.asarray(d["train"]["images"][:-1]))
-      pair["image"].append(np.asarray(d["train"]["images"][1:]))
-      pair["coords_prev"].append(np.asarray(d["coords"][:-1]))
-      pair["valid_prev"].append(np.asarray(d["valid"][:-1]))
-      pair["coords"].append(np.asarray(d["coords"][1:]))
-      pair["valid"].append(np.asarray(d["valid"][1:]))
-    pair = {k: np.concatenate(v) for k, v in pair.items()}
+      pair["image_prev"].append(d["train"]["images"][:-1])
+      pair["image"].append(d["train"]["images"][1:])
+      pair["coords_prev"].append(d["coords"][:-1])
+      pair["valid_prev"].append(d["valid"][:-1])
+      pair["coords"].append(d["coords"][1:])
+      pair["valid"].append(d["valid"][1:])
+    pair = {k: jnp.concatenate(v) for k, v in pair.items()}
     cfg = of_cfg_fn()
     params = oflownet.init(jax.random.key(101), cfg, (H, W, 3))
     loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
