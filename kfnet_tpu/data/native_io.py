@@ -54,6 +54,12 @@ def load_library():
       c.c_int, c.c_float, c.c_float, c.c_float, c.c_uint16,
       c.POINTER(c.c_float), c.POINTER(c.c_uint8), c.POINTER(c.c_int),
       c.POINTER(c.c_int)]
+  lib.kfn_load_batch.restype = c.c_int
+  lib.kfn_load_batch.argtypes = [
+      c.POINTER(c.c_char_p), c.POINTER(c.c_char_p), c.c_int, c.c_int,
+      c.c_int, c.POINTER(c.c_float), c.POINTER(c.c_float), c.c_int,
+      c.c_float, c.c_float, c.c_float, c.c_uint16, c.c_int,
+      c.POINTER(c.c_float), c.POINTER(c.c_float), c.POINTER(c.c_uint8)]
   _LIB = lib
   return _LIB
 
@@ -151,3 +157,74 @@ def depth_png_to_labels(path: str, K: np.ndarray, T_wc: np.ndarray,
   if rc != 0:
     raise ValueError(f"native label generation failed ({rc}) for {path}")
   return coords, valid.astype(bool)
+
+
+def load_batch(color_paths, depth_paths, poses, K,
+               width: int, height: int,
+               stride: int = 8, depth_scale: float = 1e-3,
+               min_depth: float = 0.05, max_depth: float = 20.0,
+               invalid_value: int = 65535,
+               num_threads: int | None = None):
+  """Native multi-threaded batch loader: N frames → one GIL-free C++ call
+  (file read → PNG decode → RGB f32 + fused strided label generation,
+  fanned over a std::thread pool — the executor role the reference left
+  to TF's C++ queue runners, SURVEY.md §2.2 #10).
+
+  Args:
+    color_paths: list[str] of N color PNGs (width x height, 8-bit).
+    depth_paths: list[str | None]; None/"" → zeros labels, valid=0.
+    poses: (N, 4, 4) camera-to-world.
+    K: (3, 3) shared intrinsics.
+
+  Returns:
+    dict(image (N,H,W,3) f32, coords (N,h,w,3) f32, valid (N,h,w) bool).
+    Raises on decode failure; falls back to the Python path per-frame when
+    the shared library is unavailable.
+  """
+  n = len(color_paths)
+  assert len(depth_paths) == n and len(poses) == n
+  lib = load_library()
+  if lib is None:
+    # Python fallback (PIL decode + device label gen), frame by frame.
+    from kfnet_tpu.data.seven_scenes import read_color as pil_color
+    imgs = np.stack([pil_color(p) for p in color_paths])
+    cs, vs = [], []
+    hs, ws = height // stride, width // stride
+    for dp, T in zip(depth_paths, poses):
+      if not dp:
+        cs.append(np.zeros((hs, ws, 3), np.float32))
+        vs.append(np.zeros((hs, ws), bool))
+      else:
+        c, v = depth_png_to_labels(dp, K, T, stride, depth_scale,
+                                   min_depth, max_depth, invalid_value)
+        cs.append(c)
+        vs.append(v)
+    return {"image": imgs, "coords": np.stack(cs), "valid": np.stack(vs)}
+
+  if num_threads is None:
+    num_threads = min(8, os.cpu_count() or 1)
+  hs, ws = height // stride, width // stride
+  images = np.empty((n, height, width, 3), np.float32)
+  coords = np.empty((n, hs, ws, 3), np.float32)
+  valid = np.empty((n, hs, ws), np.uint8)
+  c_color = (ctypes.c_char_p * n)(*[p.encode() for p in color_paths])
+  c_depth = (ctypes.c_char_p * n)(
+      *[(p.encode() if p else None) for p in depth_paths])
+  Kf = np.ascontiguousarray(K, np.float32)
+  Tf = np.ascontiguousarray(np.stack(poses), np.float32)
+  rc = lib.kfn_load_batch(
+      c_color, c_depth, n, width, height,
+      Kf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      Tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      stride, ctypes.c_float(depth_scale), ctypes.c_float(min_depth),
+      ctypes.c_float(max_depth), ctypes.c_uint16(invalid_value),
+      num_threads,
+      images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+  if rc != 0:
+    bad = -(rc + 1)
+    raise ValueError(
+        f"native batch load failed at frame {bad} "
+        f"({color_paths[bad] if 0 <= bad < n else '?'})")
+  return {"image": images, "coords": coords, "valid": valid.astype(bool)}

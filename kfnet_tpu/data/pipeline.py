@@ -147,3 +147,63 @@ def batched(load_fns: Sequence[Callable[[], dict]],
     if to_device:
       batch = jax.device_put(batch)
     yield batch
+
+
+def batched_native(color_paths, depth_paths, poses, K, image_size,
+                   batch_size: int,
+                   stride: int = 8,
+                   depth_scale: float = 1e-3,
+                   min_depth: float = 0.05,
+                   max_depth: float = 20.0,
+                   seed: int = 0,
+                   augment: AugmentConfig | None = None,
+                   epochs: int | None = None,
+                   drop_remainder: bool = True,
+                   prefetch_depth: int = 3,
+                   to_device: bool = True,
+                   num_threads: int | None = None) -> Iterator[dict]:
+  """Batch stream backed by the native C++ loader: each minibatch is ONE
+  GIL-free `kfn_load_batch` call (file read → PNG decode → fused label
+  generation over a std::thread pool) inside the prefetch thread — the
+  executor role the reference delegated to TF's C++ queue runners.
+  Augmentation (stride-aligned crop + photometric) applies on the decoded
+  batch exactly as in :func:`batched`.
+
+  Falls back transparently to the Python per-frame path when the shared
+  library is unavailable (native_io.load_batch handles that).
+  """
+  from kfnet_tpu.data import native_io
+
+  n = len(color_paths)
+  h, w = image_size
+  rng = np.random.default_rng(seed)
+  aug = augment or AugmentConfig(enabled=False)
+  poses = np.asarray(poses, np.float32)
+
+  def produce():
+    epoch = 0
+    while epochs is None or epoch < epochs:
+      order = rng.permutation(n)
+      for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size and drop_remainder:
+          continue
+        batch = native_io.load_batch(
+            [color_paths[i] for i in idx],
+            [depth_paths[i] for i in idx],
+            poses[idx], K, width=w, height=h, stride=stride,
+            depth_scale=depth_scale, min_depth=min_depth,
+            max_depth=max_depth, num_threads=num_threads)
+        if aug.enabled:
+          examples = [augment_example(
+              rng, {k: v[j] for k, v in batch.items()}, aug, stride)
+              for j in range(len(idx))]
+          batch = {k: np.stack([e[k] for e in examples])
+                   for k in examples[0]}
+        yield batch
+      epoch += 1
+
+  for batch in Prefetcher(produce(), depth=prefetch_depth):
+    if to_device:
+      batch = jax.device_put(batch)
+    yield batch

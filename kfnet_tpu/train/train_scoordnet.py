@@ -49,8 +49,10 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
   # Pass 1 (subsampled): scene coordinate statistics for normalization.
   sample = split.frames[::max(1, len(split.frames) // 200)]
   cs, vs = [], []
+  img_hw = exp.dataset.image_size
   for fr in sample[:200]:
     ex = load(fr)
+    img_hw = tuple(np.asarray(ex["image"]).shape[:2])
     c, v = labels.generate(
         np.asarray(ex["depth"]), K, ex["pose"], stride=stride,
         min_depth=exp.dataset.min_depth, max_depth=exp.dataset.max_depth)
@@ -67,15 +69,35 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
             "valid": np.asarray(v)}
 
   load_fns = [functools.partial(load_with_labels, fr) for fr in split.frames]
-  return load_fns, (mean, std)
+
+  # native batch-loader metadata (7/12-Scenes PNG layout; Cambridge
+  # resizes images on load, which the native path doesn't do)
+  native_meta = None
+  if adapter.name != "cambridge":
+    native_meta = {
+        "color_paths": [fr.color_path for fr in split.frames],
+        "depth_paths": [fr.depth_path for fr in split.frames],
+        "poses": np.stack([s7.read_pose(fr.pose_path)
+                           for fr in split.frames]),
+        "K": np.asarray(K, np.float32),
+        "image_size": img_hw,  # actual on-disk frame dims
+        "stride": stride,
+        "depth_scale": exp.dataset.depth_scale,
+        "min_depth": exp.dataset.min_depth,
+        "max_depth": exp.dataset.max_depth,
+    }
+  return load_fns, (mean, std), native_meta
 
 
 def main(argv=None):
   parser = config_lib.add_common_flags(argparse.ArgumentParser())
+  parser.add_argument("--no_native_loader", action="store_true",
+                      help="force the Python (PIL) data path even when "
+                           "the native C++ loader is built")
   args = parser.parse_args(argv)
   exp = config_lib.from_args(args)
 
-  load_fns, (mean, std) = make_scene_loader(exp)
+  load_fns, (mean, std), native_meta = make_scene_loader(exp)
   net_cfg = dataclasses.replace(
       exp.scoordnet, coord_offset=tuple(float(x) for x in mean),
       coord_scale=float(std))
@@ -97,9 +119,17 @@ def main(argv=None):
   loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
   # NB: crop is disabled by default so the pixel grid matches eval exactly;
   # enable AugmentConfig(crop=...) for regularization on small scenes.
-  batches = pipeline.batched(
-      load_fns, exp.batch_size, seed=exp.seed,
-      augment=pipeline.AugmentConfig(crop=None))
+  from kfnet_tpu.data import native_io
+  if native_meta and not args.no_native_loader and native_io.available():
+    # native C++ batch loader: one GIL-free decode+label call per batch
+    logger.log_text("using native batch loader (kfn_load_batch)")
+    batches = pipeline.batched_native(
+        batch_size=exp.batch_size, seed=exp.seed,
+        augment=pipeline.AugmentConfig(crop=None), **native_meta)
+  else:
+    batches = pipeline.batched(
+        load_fns, exp.batch_size, seed=exp.seed,
+        augment=pipeline.AugmentConfig(crop=None))
   state = trainer.fit(loss_fn, params, batches,
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),

@@ -16,9 +16,12 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (kfnet_tpu/data/native_io.py).
 
+#include <atomic>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -152,9 +155,105 @@ bool decode_png(const uint8_t* buf, size_t len, PngInfo& info,
   return unfilter(raw, pixels.data(), info.height, row_bytes, bpp);
 }
 
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  if (n <= 0) { std::fclose(f); return false; }
+  std::fseek(f, 0, SEEK_SET);
+  out.resize(size_t(n));
+  size_t got = std::fread(out.data(), 1, size_t(n), f);
+  std::fclose(f);
+  return got == size_t(n);
+}
+
 }  // namespace
 
 extern "C" {
+
+int kfn_depth_to_labels(const uint8_t*, size_t, const float*, const float*,
+                        int, float, float, float, uint16_t, float*, uint8_t*,
+                        int*, int*);
+int kfn_png_decode_rgb_f32(const uint8_t*, size_t, float*);
+
+// Multi-threaded batch example loader — the native executor the reference
+// delegated to TF's C++ queue runners (SURVEY.md §2.2 #10, §3.1 "host
+// threads"). One call loads n frames: read file → PNG decode → (color)
+// float RGB, (depth) fused strided label generation, fanned out over a
+// std::thread pool with the GIL released (ctypes call).
+//
+//   color_paths[n]: NUL-terminated paths; depth_paths[i] may be NULL or
+//     empty (frame then gets valid=0 labels).
+//   K: row-major 3x3 shared intrinsics. T_wc: (n, 16) row-major poses.
+//   images: (n, height, width, 3) f32 out. coords: (n, h, w, 3) f32 out.
+//   valid: (n, h, w) u8 out, where h = height/stride, w = width/stride.
+//
+// Returns 0 on success, else -(1 + index of the first failing frame).
+int kfn_load_batch(const char** color_paths, const char** depth_paths,
+                   int n, int width, int height, const float* K,
+                   const float* T_wc, int stride, float depth_scale,
+                   float min_depth, float max_depth, uint16_t invalid_value,
+                   int num_threads, float* images, float* coords,
+                   uint8_t* valid) {
+  const int hs = height / stride, ws = width / stride;
+  const size_t img_stride = size_t(height) * width * 3;
+  const size_t lab_stride = size_t(hs) * ws;
+  std::atomic<int> next(0);
+  std::atomic<int> first_error(-1);
+
+  auto worker = [&]() {
+    std::vector<uint8_t> bytes;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || first_error.load() >= 0) return;
+      // color
+      if (!read_file(color_paths[i], bytes)) {
+        first_error.store(i);
+        return;
+      }
+      PngInfo info = parse_info(bytes.data(), bytes.size());
+      if (!info.ok || int(info.width) != width || int(info.height) != height ||
+          kfn_png_decode_rgb_f32(bytes.data(), bytes.size(),
+                                 images + size_t(i) * img_stride) != 0) {
+        first_error.store(i);
+        return;
+      }
+      // labels
+      float* c = coords + size_t(i) * lab_stride * 3;
+      uint8_t* v = valid + size_t(i) * lab_stride;
+      if (depth_paths == nullptr || depth_paths[i] == nullptr ||
+          depth_paths[i][0] == '\0') {
+        std::memset(c, 0, lab_stride * 3 * sizeof(float));
+        std::memset(v, 0, lab_stride);
+        continue;
+      }
+      int oh = 0, ow = 0;
+      if (!read_file(depth_paths[i], bytes) ||
+          kfn_depth_to_labels(bytes.data(), bytes.size(), K,
+                              T_wc + size_t(i) * 16, stride, depth_scale,
+                              min_depth, max_depth, invalid_value, c, v,
+                              &oh, &ow) != 0 ||
+          oh != hs || ow != ws) {
+        first_error.store(i);
+        return;
+      }
+    }
+  };
+
+  int nt = num_threads > 0 ? num_threads : 1;
+  if (nt > n) nt = n;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  int err = first_error.load();
+  return err >= 0 ? -(1 + err) : 0;
+}
 
 // Query dims: returns 0 on success.
 int kfn_png_info(const uint8_t* buf, size_t len, int* width, int* height,
