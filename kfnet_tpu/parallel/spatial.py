@@ -98,6 +98,13 @@ def run_filter_spatial(params, config, images: jnp.ndarray, mesh: Mesh,
   """
   from kfnet_tpu.filter import sequence
 
+  if getattr(config, "use_pallas", False):
+    # GSPMD cannot spatially partition a custom Pallas kernel — it would
+    # fall back to replicating the op (wrong answer for the halo'd warp).
+    # The XLA composition partitions correctly; use it under the mesh.
+    import dataclasses
+    config = dataclasses.replace(config, use_pallas=False)
+
   img_sharding = NamedSharding(mesh, P(None, None, axis_name, None))
   rep = NamedSharding(mesh, P())
   params = jax.device_put(params, rep)

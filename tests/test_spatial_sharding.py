@@ -68,3 +68,25 @@ def test_full_filter_spatially_sharded_matches_single_device(mesh):
 
   np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), atol=2e-5)
   np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref), atol=2e-5)
+
+
+def test_spatial_filter_pallas_config_falls_back(mesh):
+  """use_pallas under spatial sharding must silently use the XLA
+  composition (GSPMD can't partition the custom kernel) and still match."""
+  import dataclasses
+  cfg = dataclasses.replace(tc.tiny_kfnet(), use_pallas=True)
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+
+  imgs = tc.random_images(3, seed=9, shape=(48, 128, 3))
+  params = kfnet.init(jax.random.key(1), cfg, (48, 128, 3))
+  ref_cfg = dataclasses.replace(cfg, use_pallas=False)
+  xs_ref, _, _ = jax.jit(
+      lambda p, im: sequence.run_filter(p, ref_cfg, im))(params, imgs)
+  xs, _ = spatial.run_filter_spatial(params, cfg, imgs, mesh)
+  # GSPMD's reordered reductions drift slightly more than single-device
+  # compile-order variance once amplified through the covariance
+  # recursion (observed max ~1e-4 on this 3-frame sequence).
+  np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), atol=5e-4)
+  diff = np.abs(np.asarray(xs) - np.asarray(xs_ref))
+  assert float(np.median(diff)) < 2e-5
