@@ -41,6 +41,12 @@ def main(argv=None):
   parser.add_argument("--chi2_threshold", type=float, default=None,
                       help="override the consistency-test threshold "
                            "(chi-square 3 dof; default p=0.05 -> 7.81)")
+  parser.add_argument("--pnp_solver", default="dlt", choices=("dlt", "p3p"),
+                      help="RANSAC minimal solver (p3p = 3-pt Grunert, "
+                           "survives lower inlier ratios and is faster; "
+                           "dlt = 6-pt, most robust on noisy maps)")
+  parser.add_argument("--num_hypotheses", type=int, default=256)
+  parser.add_argument("--inlier_threshold_px", type=float, default=10.0)
   parser.add_argument("--dump_dir", default="",
                       help="dump per-frame fused coord+uncertainty maps "
                            "(.npz) like the reference eval scripts")
@@ -85,9 +91,14 @@ def main(argv=None):
     profiling = (jax.profiler.trace(args.profile_dir)
                  if args.profile_dir and i == 0 else contextlib.nullcontext())
     with profiling:
+      from kfnet_tpu.pose import ransac
+      rcfg = ransac.RansacConfig(
+          solver=args.pnp_solver, num_hypotheses=args.num_hypotheses,
+          inlier_threshold_px=args.inlier_threshold_px,
+          refine_threshold_px=args.inlier_threshold_px)
       res = fn(params, cfg, images, K, gt_poses=gt,
                scene=f"{exp.scene}/{seq_frames[0].seq}",
-               stride=exp.dataset.stride)
+               stride=exp.dataset.stride, ransac_config=rcfg)
     if args.dump_dir:
       # per-frame dump, mirroring the reference eval scripts' map blobs
       # (SURVEY.md §2.2 #5/#8: "dumps fused maps").
