@@ -97,14 +97,38 @@ def _small_of_cfg():
       compute_dtype="float32")
 
 
+def _cached_stage(work_dir, name, template, fit_fn):
+  """Stage-level resume: if ``work_dir/name`` holds an export, restore it
+  instead of re-training (long full-size runs survive host/tunnel crashes
+  — the orbax analog of the trainer's resume-by-step, at protocol
+  granularity). Returns (params, final_loss)."""
+  import os
+
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+  if work_dir:
+    d = os.path.join(work_dir, name)
+    if os.path.isdir(os.path.join(d, "params")):
+      meta = ckpt_lib.load_meta(d) or {}
+      return (ckpt_lib.load_params(d, template=template),
+              float(meta.get("final_loss", float("nan"))))
+  params, m = fit_fn()
+  loss = float(m["loss"])
+  if work_dir:
+    ckpt_lib.export_params(os.path.join(work_dir, name), params,
+                           meta={"final_loss": loss})
+  return params, loss
+
+
 def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  sc_steps=1200, of_steps=1000, joint_steps=200,
                  lr=2e-3, scenes=DEFAULT_SCENES, log=print,
-                 full_size=False):
+                 full_size=False, work_dir=None):
   """Returns the per-scene report list (see module docstring).
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
-  OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams)."""
+  OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams).
+  work_dir enables per-stage checkpointing (crash → rerun skips finished
+  stages)."""
   data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
           for s in scenes}
   sc_cfg_fn = _full_sc_cfg if full_size else _small_sc_cfg
@@ -125,10 +149,13 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     loss_fn = objectives.scoordnet_objective(cfg)
     batch = {"image": d["train"]["images"], "coords": d["coords"],
              "valid": d["valid"]}
-    state, m = fit_on_device(loss_fn, params, batch, sc_steps, lr,
-                             batch=sc_batch, chunk=sc_chunk,
-                             tag=f"stage1[{s.name}]", log=log)
-    sc[s.name] = (cfg, state.params, m)
+    trained, _ = _cached_stage(
+        work_dir, f"stage1_{s.name}", params,
+        lambda: (lambda st, m: (st.params, m))(*fit_on_device(
+            loss_fn, params, batch, sc_steps, lr,
+            batch=sc_batch, chunk=sc_chunk,
+            tag=f"stage1[{s.name}]", log=log)))
+    sc[s.name] = (cfg, trained)
 
   # ---- stage 2: one OFlowNet per dataset, held-out scenes excluded ------
   of = {}
@@ -153,14 +180,17 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     cfg = of_cfg_fn()
     params = oflownet.init(jax.random.key(101), cfg, (H, W, 3))
     loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
-    state, m = fit_on_device(loss_fn, params, pair, of_steps, lr,
-                             tag=f"stage2[{dataset}]", seed=1, log=log)
-    of[dataset] = (cfg, state.params, m)
+    trained, final_loss = _cached_stage(
+        work_dir, f"stage2_{dataset}", params,
+        lambda: (lambda st, m: (st.params, m))(*fit_on_device(
+            loss_fn, params, pair, of_steps, lr,
+            tag=f"stage2[{dataset}]", seed=1, log=log)))
+    of[dataset] = (cfg, trained, final_loss)
 
   # ---- stage 3: joint fine-tune per training scene ----------------------
   joint = {}
   for s in scenes:
-    sc_cfg, sc_params, _ = sc[s.name]
+    sc_cfg, sc_params = sc[s.name]
     of_cfg, of_params, _ = of[s.dataset]
     cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
     params = {"scoordnet": sc_params, "oflownet": of_params}
@@ -169,11 +199,14 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
       pair = {"image_prev": d["train"]["images"][:-1],
               "image": d["train"]["images"][1:],
               "coords": d["coords"][1:], "valid": d["valid"][1:]}
-      state, _ = fit_on_device(
-          objectives.kfnet_objective(cfg), params, pair, joint_steps,
-          lr * 0.1, batch=joint_batch, chunk=joint_chunk,
-          tag=f"stage3[{s.name}]", seed=2, log=log)
-      params = state.params
+      params, _ = _cached_stage(
+          work_dir, f"stage3_{s.name}", params,
+          lambda cfg=cfg, params=params, pair=pair, name=s.name:
+              (lambda st, m: (st.params, m))(*fit_on_device(
+                  objectives.kfnet_objective(cfg), params, pair,
+                  joint_steps, lr * 0.1, batch=joint_batch,
+                  chunk=joint_chunk, tag=f"stage3[{name}]", seed=2,
+                  log=log)))
     joint[s.name] = (cfg, params)
 
   # ---- eval: filtered vs measurement-only per scene ---------------------
@@ -199,7 +232,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
         np.asarray(d["test_valid"]))
     # stage-2 NLL on this scene's pairs with its dataset's frozen OFlowNet
     # (the outdoor rows prove the loss stays finite at 20x coord scale).
-    of_cfg, of_params, of_m = of[s.dataset]
+    of_cfg, of_params, of_final_loss = of[s.dataset]
     row = {
         "scene": s.name,
         "dataset": s.dataset,
@@ -215,7 +248,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
         "measurement_only_rotation_deg":
             res_m.report["median_rotation_deg"],
         "median_coord_err_m": acc_f["median_coord_err_m"],
-        "stage2_final_loss": float(of_m["loss"]),
+        "stage2_final_loss": of_final_loss,
         "frames": int(test_frames),
     }
     reports.append(row)
@@ -237,6 +270,9 @@ def main(argv=None):
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--fast", action="store_true",
                  help="miniature run (CI-slow scale)")
+  p.add_argument("--work_dir", default="",
+                 help="per-stage checkpoint dir: a crashed run rerun with "
+                      "the same flags skips finished stages")
   p.add_argument("--full_size", action="store_true",
                  help="flagship 23.6M-param bf16 nets at 640x480 (the "
                       "acceptance-protocol dress rehearsal; ~2-3 h on a "
@@ -245,7 +281,7 @@ def main(argv=None):
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
             test_frames=args.test_frames, sc_steps=args.sc_steps,
             of_steps=args.of_steps, joint_steps=args.joint_steps,
-            lr=args.learning_rate)
+            lr=args.learning_rate, work_dir=args.work_dir or None)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)
