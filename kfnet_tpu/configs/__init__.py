@@ -49,3 +49,44 @@ _FACTORIES = {
 def get(dataset: str, scene: str,
         input_folder: str = "") -> config_lib.ExperimentConfig:
   return _FACTORIES[dataset](scene, input_folder)
+
+
+# ---- synthetic-demo / protocol-rehearsal model + solver presets ----------
+# Shared by tools/demo.py and tools/protocol.py (which promises to mirror
+# demo --full_size): keep the hyperparameters in ONE place.
+
+def small_scoordnet(mean=(0.0, 0.0, 0.0), std=1.0):
+  """Reduced-width f32 SCoordNet for quick synthetic runs."""
+  from kfnet_tpu.models import scoordnet
+  return scoordnet.SCoordNetConfig(
+      channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
+      head_channels=64, compute_dtype="float32",
+      coord_offset=tuple(float(x) for x in mean), coord_scale=float(std))
+
+
+def full_scoordnet(mean=(0.0, 0.0, 0.0), std=1.0):
+  """Flagship 23.6M-param bf16 SCoordNet (paper-parity width)."""
+  import dataclasses
+
+  from kfnet_tpu.models import scoordnet
+  return dataclasses.replace(
+      scoordnet.SCoordNetConfig(),
+      coord_offset=tuple(float(x) for x in mean), coord_scale=float(std))
+
+
+def small_oflownet():
+  """Reduced-width f32 OFlowNet for quick synthetic runs."""
+  from kfnet_tpu.models import oflownet
+  return oflownet.OFlowNetConfig(
+      encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
+      search_radius=2, unet_channels=(16, 16, 32),
+      compute_dtype="float32")
+
+
+def synthetic_ransac(full_size: bool):
+  """RANSAC preset matched to the synthetic demo/protocol eval."""
+  from kfnet_tpu.pose import ransac
+  if full_size:
+    return ransac.RansacConfig(num_hypotheses=256, top_k=1024,
+                               solver="p3p", inlier_threshold_px=8.0)
+  return ransac.RansacConfig(num_hypotheses=256, top_k=512)

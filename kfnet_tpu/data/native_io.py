@@ -185,9 +185,18 @@ def load_batch(color_paths, depth_paths, poses, K,
   assert len(depth_paths) == n and len(poses) == n
   lib = load_library()
   if lib is None:
-    # Python fallback (PIL decode + device label gen), frame by frame.
+    # Python fallback (PIL decode + device label gen), frame by frame —
+    # same (N, H, W, 3) contract and per-frame error reporting as native.
     from kfnet_tpu.data.seven_scenes import read_color as pil_color
-    imgs = np.stack([pil_color(p) for p in color_paths])
+    frames = []
+    for i, p in enumerate(color_paths):
+      img = pil_color(p)
+      if img.shape[:2] != (height, width):
+        raise ValueError(
+            f"batch load failed at frame {i} ({p}): on-disk size "
+            f"{img.shape[:2]} != requested {(height, width)}")
+      frames.append(img)
+    imgs = np.stack(frames)
     cs, vs = [], []
     hs, ws = height // stride, width // stride
     for dp, T in zip(depth_paths, poses):

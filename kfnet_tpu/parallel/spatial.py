@@ -61,6 +61,13 @@ def cost_volume_spatial(feat_prev: jnp.ndarray, feat_cur: jnp.ndarray,
   """
   n = mesh.shape[axis_name]
   r = radius
+  shard_w = feat_prev.shape[-2] // n
+  if r > shard_w:
+    raise ValueError(
+        f"cost_volume_spatial needs radius <= W/n_shards: a single-neighbor "
+        f"halo of {r} columns cannot be served by {shard_w}-column shards "
+        f"(W={feat_prev.shape[-2]}, shards={n}). Use fewer shards or the "
+        "GSPMD path (run_filter_spatial), which has no such limit.")
 
   def local(fp, fc):
     # fp/fc: (H, W/n, C) per-shard blocks

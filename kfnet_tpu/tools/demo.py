@@ -47,6 +47,10 @@ def consistency_experiment(params, cfg, scene, K, H, W, base_poses):
 
   tA = jnp.asarray(base_poses)
   n_frames = tA.shape[0]
+  if n_frames < 12:
+    raise ValueError(
+        f"consistency experiment needs >= 12 frames (got {n_frames}): the "
+        "report reads errors at jump+4 and medians over frames 2..jump")
   jump = n_frames // 2
   # teleport a third of the trajectory ahead at the splice: the camera
   # position and viewing angle change abruptly (a REAL jump)
@@ -157,29 +161,17 @@ def main(argv=None):
           train["depths"], train["poses"])
   mean, std = labels.scene_statistics([np.asarray(coords)],
                                       [np.asarray(valid)])
-  import dataclasses as _dc
-  if args.full_size:
-    sc_cfg = _dc.replace(scoordnet.SCoordNetConfig(),
-                         coord_offset=tuple(map(float, mean)),
-                         coord_scale=float(std))
-  else:
-    sc_cfg = scoordnet.SCoordNetConfig(
-        channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
-        head_channels=64, compute_dtype="float32",
-        coord_offset=tuple(map(float, mean)), coord_scale=float(std))
+  from kfnet_tpu import configs
+  sc_cfg = (configs.full_scoordnet(mean, std) if args.full_size
+            else configs.small_scoordnet(mean, std))
   params_sc = scoordnet.init(jax.random.key(0), sc_cfg, (H, W, 3))
   loss_fn = objectives.scoordnet_objective(sc_cfg)
   batch_all = {"image": train["images"], "coords": coords, "valid": valid}
   state, m = fit_on_device(loss_fn, params_sc, batch_all, args.steps,
                            args.learning_rate, tag="scoordnet")
 
-  if args.full_size:
-    of_cfg = oflownet.OFlowNetConfig()
-  else:
-    of_cfg = oflownet.OFlowNetConfig(
-        encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
-        search_radius=2, unet_channels=(16, 16, 32),
-        compute_dtype="float32")
+  of_cfg = (oflownet.OFlowNetConfig() if args.full_size
+            else configs.small_oflownet())
   of_params = oflownet.init(jax.random.key(1), of_cfg, (H, W, 3))
 
   if args.oflownet_steps > 0:
@@ -209,11 +201,7 @@ def main(argv=None):
         chunk=50 if args.full_size else 250, tag="joint", seed=2)
     params = joint_state.params
 
-  if args.full_size:
-    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=1024,
-                               solver="p3p", inlier_threshold_px=8.0)
-  else:
-    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
+  rcfg = configs.synthetic_ransac(args.full_size)
   res_m = eval_sequence.evaluate_measurement_only(
       params, cfg, test_imgs, K, gt_poses=np.asarray(test_poses),
       scene="synthetic(measurement-only)", ransac_config=rcfg)

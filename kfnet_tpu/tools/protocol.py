@@ -77,24 +77,8 @@ def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
           "test_coords": tcoords, "test_valid": tvalid}
 
 
-def _small_sc_cfg(mean, std):
-  return scoordnet.SCoordNetConfig(
-      channels=(16, 16, 32, 32, 64, 64), strides=(1, 2, 1, 2, 1, 2),
-      head_channels=64, compute_dtype="float32",
-      coord_offset=tuple(map(float, mean)), coord_scale=float(std))
-
-
-def _full_sc_cfg(mean, std):
-  return dataclasses.replace(
-      scoordnet.SCoordNetConfig(),
-      coord_offset=tuple(map(float, mean)), coord_scale=float(std))
-
-
-def _small_of_cfg():
-  return oflownet.OFlowNetConfig(
-      encoder_channels=(16, 16, 32), encoder_strides=(2, 2, 2),
-      search_radius=2, unet_channels=(16, 16, 32),
-      compute_dtype="float32")
+# model/solver presets shared with tools/demo.py live in kfnet_tpu.configs
+from kfnet_tpu import configs as _presets  # noqa: E402
 
 
 def _cached_stage(work_dir, name, template, fit_fn):
@@ -131,8 +115,10 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
   stages)."""
   data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
           for s in scenes}
-  sc_cfg_fn = _full_sc_cfg if full_size else _small_sc_cfg
-  of_cfg_fn = oflownet.OFlowNetConfig if full_size else _small_of_cfg
+  sc_cfg_fn = (_presets.full_scoordnet if full_size
+               else _presets.small_scoordnet)
+  of_cfg_fn = (oflownet.OFlowNetConfig if full_size
+               else _presets.small_oflownet)
   # batch/chunk mirror demo --full_size (proven at 640x480 on one chip)
   sc_batch, sc_chunk = 8, 250
   joint_batch = 2 if full_size else 4
@@ -210,11 +196,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     joint[s.name] = (cfg, params)
 
   # ---- eval: filtered vs measurement-only per scene ---------------------
-  if full_size:  # mirrors demo --full_size
-    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=1024,
-                               solver="p3p", inlier_threshold_px=8.0)
-  else:
-    rcfg = ransac.RansacConfig(num_hypotheses=256, top_k=512)
+  rcfg = _presets.synthetic_ransac(full_size)  # mirrors demo --full_size
   reports = []
   for s in scenes:
     cfg, params = joint[s.name]

@@ -165,9 +165,15 @@ def fit(loss_fn: Callable,
           for _ in range(K):
             group.append(next(single_iter))
         except StopIteration:
+          pass
+        if not group:
           return
+        # a short tail group (stream exhausted) is still trained — one
+        # extra compile for its shape, but no batches silently dropped.
         yield jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *group)
+        if len(group) < K:
+          return
 
     batches = grouped()
     train_step = multi_step
@@ -176,8 +182,14 @@ def fit(loss_fn: Callable,
   t0 = time.time()
   start_step = int(state.step)
   for batch in batches:
-    if int(state.step) >= loop_cfg.max_steps:
+    remaining = loop_cfg.max_steps - int(state.step)
+    if remaining <= 0:
       break
+    if K > 1:
+      k_batch = jax.tree_util.tree_leaves(batch)[0].shape[0]
+      if k_batch > remaining:
+        # trim so max_steps is exact (one extra compile for the tail)
+        batch = jax.tree_util.tree_map(lambda x: x[:remaining], batch)
     if mesh is not None:
       if K > 1:
         # stacked (K, B, ...) batches shard on the BATCH axis (axis 1)

@@ -153,3 +153,25 @@ def test_fit_multi_step_dispatch_dp_mesh():
   assert int(state.step) == 4
   l, _ = loss_fn(state.params, batch)
   assert np.isfinite(float(l))
+
+
+def test_fit_multi_step_dispatch_exact_max_steps():
+  """Review r2: K>1 must stop at EXACTLY max_steps (trimmed tail dispatch)
+  and must not drop tail batches of a finite stream."""
+  cfg = tc.tiny_scoordnet()
+  params = scoordnet.init(jax.random.key(4), cfg, tc.IMG)
+  batch = synth_batch(seed=6)
+  loss_fn = objectives.scoordnet_objective(cfg)
+  # max_steps not a multiple of K
+  s = trainer.fit(loss_fn, params, repeat_batches(batch, 10),
+                  optimizer_cfg=trainer.OptimizerConfig(),
+                  loop_cfg=trainer.TrainLoopConfig(
+                      max_steps=6, log_every=1000, steps_per_dispatch=4))
+  assert int(s.step) == 6
+  # finite stream shorter than max_steps, length not a multiple of K:
+  # every batch must be trained (tail group included)
+  s2 = trainer.fit(loss_fn, params, repeat_batches(batch, 5),
+                   optimizer_cfg=trainer.OptimizerConfig(),
+                   loop_cfg=trainer.TrainLoopConfig(
+                       max_steps=100, log_every=1000, steps_per_dispatch=4))
+  assert int(s2.step) == 5
