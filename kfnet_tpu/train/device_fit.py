@@ -32,7 +32,7 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
   data = jax.device_put(data)
   n = next(iter(data.values())).shape[0]
 
-  def one_step(s, idx):
+  def one_step(data, s, idx):
     b = jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), data)
     (loss, metrics), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(s.params, b)
@@ -41,9 +41,13 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
     return trainer.TrainState(step=s.step + 1, params=new_params,
                               opt_state=opt_state), metrics
 
+  # NB: data is an explicit ARGUMENT, not a closure capture — jit embeds
+  # closed-over arrays in the lowered computation, and shipping a ~GB
+  # dataset through the compile path broke this sandbox's remote-compile
+  # service (and bloats compiles everywhere).
   @partial(jax.jit, donate_argnums=(0,))
-  def run_chunk(s, idxs):
-    s, ms = jax.lax.scan(one_step, s, idxs)
+  def run_chunk(s, idxs, data):
+    s, ms = jax.lax.scan(partial(one_step, data), s, idxs)
     return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
   rng = np.random.default_rng(seed)
@@ -54,7 +58,7 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
     # k rows exactly: a short tail costs one extra compile but never
     # trains more steps than requested.
     idxs = jnp.asarray(rng.integers(0, n, size=(k, batch)))
-    state, m = run_chunk(state, idxs)
+    state, m = run_chunk(state, idxs, data)
     done += k
     if log:
       log(f"{tag} step {done}: " + " ".join(
