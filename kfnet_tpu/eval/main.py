@@ -101,15 +101,24 @@ def main(argv=None):
                stride=exp.dataset.stride, ransac_config=rcfg)
     if args.dump_dir:
       # per-frame dump, mirroring the reference eval scripts' map blobs
-      # (SURVEY.md §2.2 #5/#8: "dumps fused maps").
+      # (SURVEY.md §2.2 #5/#8: "dumps fused maps"). meta.json makes the
+      # dump self-contained for the offline pose tool
+      # (tools/eval_poses.py — the reference's tools/ pose eval, §3.4).
       import os
       seq_name = seq_frames[0].seq
       os.makedirs(os.path.join(args.dump_dir, seq_name), exist_ok=True)
+      meta_path = os.path.join(args.dump_dir, "meta.json")
+      if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+          json.dump({"intrinsics": np.asarray(K).tolist(),
+                     "stride": exp.dataset.stride,
+                     "scene": exp.scene,
+                     "dataset": exp.dataset.name}, f, indent=2)
       for t, fr in enumerate(seq_frames):
         np.savez_compressed(
             os.path.join(args.dump_dir, seq_name, f"frame-{fr.index:06d}"),
             coords=res.coords[t], covariance=res.covariance[t],
-            pose=res.poses[t])
+            pose=res.poses[t], pose_gt=gt[t])
     if all("depth" in f for f in frames):
       # coordinate-accuracy stats against depth+pose-derived GT maps
       from kfnet_tpu.data import labels as labels_lib
