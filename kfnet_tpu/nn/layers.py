@@ -105,6 +105,12 @@ def conv(out_ch: int,
       return conv3x3_same(
           x, params["w"], params.get("b"), relu=False,
           out_dtype=compute_dtype)
+    if (impl == "winograd" and kernel == 3 and stride == 1
+        and dilation == 1 and padding == "SAME"
+        and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
+      from kfnet_tpu.kernels.winograd import conv3x3_winograd
+      return conv3x3_winograd(x, params["w"], params.get("b"),
+                              compute_dtype=compute_dtype)
     xb, lead = _as_batched(x)
     # NOTE: no preferred_element_type here — XLA:TPU's MXU accumulates
     # bf16 matmuls in f32 internally regardless, and requesting an f32
