@@ -58,6 +58,45 @@ def test_eval_poses_offline_from_dump(tmp_path, monkeypatch):
   assert saved["scenes"][0]["frames"] == 4
 
 
+def test_eval_poses_exact_recovery_from_synthetic_dump(tmp_path):
+  """Ground truth end-to-end: a dump whose coordinate maps are EXACT
+  backprojections of known camera poses must be re-solved to those poses
+  (sub-mm / milli-degree) by the offline tool."""
+  import jax.numpy as jnp
+
+  from kfnet_tpu.core import geometry as geo
+  from kfnet_tpu.tools import eval_poses
+
+  h, w, stride = 6, 8, 8
+  K = np.asarray(geo.make_intrinsics(60.0, 60.0, 31.5, 23.5))
+  grid = np.asarray(geo.cell_center_grid(h, w, stride)).reshape(-1, 2)
+  rng = np.random.default_rng(7)
+  dump = tmp_path / "dump"
+  (dump / "seq-01").mkdir(parents=True)
+  with open(dump / "meta.json", "w") as f:
+    json.dump({"intrinsics": K.tolist(), "stride": stride,
+               "scene": "synth"}, f)
+  gts = []
+  for t in range(3):
+    R_wc = np.asarray(geo.axis_angle_to_matrix(
+        jnp.asarray(rng.normal(size=3) * 0.2, jnp.float32)))
+    t_wc = rng.normal(size=3).astype(np.float32)
+    T_wc = np.asarray(geo.make_pose(jnp.asarray(R_wc), jnp.asarray(t_wc)))
+    z = rng.uniform(1.0, 5.0, (h * w, 1)).astype(np.float32)
+    rays = np.concatenate([(grid - K[:2, 2]) / np.diag(K)[:2],
+                           np.ones((h * w, 1), np.float32)], -1)
+    X = (rays * z) @ R_wc.T + t_wc  # exact world coords per cell center
+    np.savez(dump / "seq-01" / f"frame-{t:06d}.npz",
+             coords=X.reshape(h, w, 3).astype(np.float32),
+             covariance=np.full((h, w, 1), 1e-4, np.float32),
+             pose=np.eye(4, dtype=np.float32), pose_gt=T_wc)
+    gts.append(T_wc)
+  rep = eval_poses.main(["--dump_dir", str(dump)])[0]
+  assert rep["median_translation_m"] < 1e-3, rep
+  assert rep["median_rotation_deg"] < 0.05, rep
+  assert rep["accuracy_5cm_5deg"] == 1.0
+
+
 def test_eval_poses_solver_flags_and_no_gt(tmp_path, monkeypatch):
   from kfnet_tpu.tools import eval_poses
 
