@@ -96,12 +96,21 @@ class JointLossWeights:
 
 
 def kfnet_window_objective(config: kfnet.KFNetConfig,
-                           weights: JointLossWeights = JointLossWeights()):
+                           weights: JointLossWeights = JointLossWeights(),
+                           remat: bool = False):
   """Sequence-unrolled joint fine-tune: the filter runs over a T-frame
   window inside lax.scan with gradients through time (BPTT), posterior
   NLL summed over frames 1..T-1. Generalizes the 2-frame objective —
   matches the reference's filtering fine-tune on short windows
   (SURVEY.md §3.5 "2-frame (or short) windows").
+
+  remat: rematerialize the scan body in the backward pass
+  (``jax.checkpoint``): activation memory becomes O(1) in T — only the
+  (x, P, feat) carry is stored per step and both subnets' activations
+  recompute during the backward sweep (~1.3x step FLOPs) — so long-window
+  BPTT at full resolution fits HBM (without it, every frame's full conv
+  activations are live at once). Numerics are identical (same graph,
+  re-executed; pinned by tests/test_train.py).
 
   batch: images (B, T, H, W, 3), coords (B, T, h, w, 3), valid (B, T, h, w).
   """
@@ -120,7 +129,8 @@ def kfnet_window_objective(config: kfnet.KFNetConfig,
         return (x1, P1, feat1), (l_post, l_meas, err)
 
       _, (l_post, l_meas, err) = jax.lax.scan(
-          body, (x0, P0, feat0), (images[1:], coords_gt[1:], valid[1:]))
+          jax.checkpoint(body) if remat else body,
+          (x0, P0, feat0), (images[1:], coords_gt[1:], valid[1:]))
       l0 = nll.gaussian_nll(x0, coords_gt[0], P0, valid[0])
       return (jnp.mean(l_post), jnp.mean(l_meas) + l0 / images.shape[0],
               jnp.mean(err))

@@ -103,6 +103,11 @@ def main(argv=None):
                       help=">2 trains the T-frame BPTT window objective "
                            "(kfnet_window_objective) instead of the "
                            "2-frame pair objective")
+  parser.add_argument("--remat", action="store_true",
+                      help="rematerialize the BPTT scan body (O(1) "
+                           "activation memory in window_size; ~1.3x "
+                           "step FLOPs) — for long windows at full "
+                           "resolution")
   args = parser.parse_args(argv)
   exp = config_lib.from_args(args)
 
@@ -115,7 +120,8 @@ def main(argv=None):
       measurement=args.measurement_weight,
       prior=args.prior_weight)
   if args.window_size > 2:
-    loss_fn = objectives.kfnet_window_objective(cfg, weights)
+    loss_fn = objectives.kfnet_window_objective(cfg, weights,
+                                                remat=args.remat)
     load_fns = make_window_loaders(exp, [exp.scene], args.window_size)
   else:
     loss_fn = objectives.kfnet_objective(cfg, weights)

@@ -90,6 +90,19 @@ def test_kfnet_window_objective_bptt():
         jnp.sum(x ** 2) for x in jax.tree_util.tree_leaves(grads[sub]))))
     assert np.isfinite(g) and g > 0, f"no BPTT gradient into {sub}"
 
+  # remat=True (O(1)-in-T activation memory) recomputes the same graph in
+  # the backward sweep — loss and gradients must match up to the
+  # documented compile-order variance (~1e-5; remat re-fuses the
+  # recomputed forward, so summation orders differ slightly).
+  loss_fn_r = objectives.kfnet_window_objective(cfg, remat=True)
+  (loss_r, _), grads_r = jax.value_and_grad(loss_fn_r, has_aux=True)(
+      params, batch)
+  np.testing.assert_allclose(float(loss_r), float(loss), rtol=1e-6)
+  for a, b in zip(jax.tree_util.tree_leaves(grads),
+                  jax.tree_util.tree_leaves(grads_r)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=1e-5)
+
 
 def test_checkpoint_resume(tmp_path):
   cfg = tc.tiny_scoordnet()
