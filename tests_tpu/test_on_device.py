@@ -110,6 +110,37 @@ def test_fused_kernel_faster_than_xla_composition():
   assert t_pl <= 1.1 * t_xla, (t_pl, t_xla)
 
 
+def test_full_size_long_window_bptt_remat_fits_and_runs():
+  """Long-context training proof on hardware: one full-size (640x480,
+  23.6M-param) BPTT grad step over a T=12 window with the rematerialized
+  scan body executes on a single chip and yields finite loss/grads.
+  Without remat the same step needs ~9 GiB of temp HBM at T=16 (measured
+  via XLA memory analysis — docs/DESIGN.md §5); with it, <1 GiB."""
+  from kfnet_tpu.models import kfnet
+  from kfnet_tpu.train import objectives
+
+  cfg = kfnet.KFNetConfig()  # use_pallas=False: differentiable path
+  params = kfnet.init(jax.random.key(0), cfg, (480, 640, 3))
+  T = 12
+  rng = np.random.default_rng(0)
+  batch = {
+      "images": jnp.asarray(
+          rng.uniform(0, 1, (1, T, 480, 640, 3)).astype(np.float32)),
+      "coords": jnp.asarray(
+          rng.normal(size=(1, T, 60, 80, 3)).astype(np.float32)),
+      "valid": np.ones((1, T, 60, 80), bool),
+  }
+  loss_fn = objectives.kfnet_window_objective(cfg, remat=True)
+  g = jax.jit(jax.value_and_grad(lambda p, b: loss_fn(p, b)[0]))
+  loss, grads = g(params, batch)
+  sync(loss)
+  assert np.isfinite(float(loss)), float(loss)
+  norms = [float(jnp.sum(jnp.square(x)))
+           for x in jax.tree_util.tree_leaves(grads)]
+  assert all(np.isfinite(n) for n in norms)
+  assert sum(norms) > 0
+
+
 def test_pose_solver_throughput_floor():
   """Regression guard for the r2 pose-solver rewrite (inverse-iteration
   DLT, polar/triad alignment): full RANSAC solve must stay under 3 ms per
