@@ -199,13 +199,20 @@ def load_batch(color_paths, depth_paths, poses, K,
     imgs = np.stack(frames)
     cs, vs = [], []
     hs, ws = height // stride, width // stride
-    for dp, T in zip(depth_paths, poses):
+    for i, (dp, T) in enumerate(zip(depth_paths, poses)):
       if not dp:
         cs.append(np.zeros((hs, ws, 3), np.float32))
         vs.append(np.zeros((hs, ws), bool))
       else:
         c, v = depth_png_to_labels(dp, K, T, stride, depth_scale,
                                    min_depth, max_depth, invalid_value)
+        if c.shape[:2] != (hs, ws):
+          # same per-frame dim check as the native path (oh/ow vs hs/ws):
+          # without it np.stack fails with a shapeless frameless error.
+          raise ValueError(
+              f"batch load failed at frame {i} (depth file {dp}): label "
+              f"grid {c.shape[:2]} != {(hs, ws)} — on-disk depth size "
+              f"does not match the requested {(height, width)}")
         cs.append(c)
         vs.append(v)
     return {"image": imgs, "coords": np.stack(cs), "valid": np.stack(vs)}
@@ -232,8 +239,11 @@ def load_batch(color_paths, depth_paths, poses, K,
       coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
       valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
   if rc != 0:
-    bad = -(rc + 1)
+    packed = -(rc + 1)  # 2*index + which (0 = color file, 1 = depth file)
+    bad, which = packed // 2, packed % 2
+    paths = depth_paths if which else color_paths
     raise ValueError(
         f"native batch load failed at frame {bad} "
-        f"({color_paths[bad] if 0 <= bad < n else '?'})")
+        f"({'depth' if which else 'color'} file "
+        f"{paths[bad] if 0 <= bad < n else '?'})")
   return {"image": images, "coords": coords, "valid": valid.astype(bool)}

@@ -60,24 +60,24 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
 
   # Full pipeline (filter + vmapped PnP-RANSAC pose solve): what a user
   # gets from eval_sequence per frame, poses included.
-  from kfnet_tpu.pose import ransac
-  rcfg = ransac.RansacConfig()
+  from kfnet_tpu.eval import eval_sequence
   K = jnp.asarray([[585.0, 0.0, width / 2.0 - 0.5],
                    [0.0, 585.0, height / 2.0 - 0.5],
                    [0.0, 0.0, 1.0]], jnp.float32)
   keys = jax.random.split(jax.random.key(0), frames)
+  solve = eval_sequence.make_pose_solver(K)
 
   @jax.jit
   def run_with_pose(p, im, ks):
     xs, Ps = sequence.run_filter(p, cfg, im)[:2]
-    out = jax.vmap(lambda c, P, k: ransac.solve_pnp_from_maps(
-        c, P, jnp.ones_like(P, bool), K, k, config=rcfg))(xs, Ps, ks)
-    return out["T_wc"]
+    return solve(xs, Ps, ks)["T_wc"]
 
   t = bench_fn(run_with_pose, (params, images, keys), reps=reps)
   results["e2e_pose_fps"] = frames / t
-  results["pose_solve_ms_per_frame"] = (
-      1e3 * t / frames - results["filter_ms_per_frame"])
+  # difference of two separately-timed runs — clamp at 0: a dispatch-noise
+  # spike in the filter-only measurement must not emit a negative time.
+  results["pose_solve_ms_per_frame"] = max(
+      0.0, 1e3 * t / frames - results["filter_ms_per_frame"])
 
   # Streaming mode (chunked jitted scan; both chunk entries compiled) at
   # the DEFAULT chunk size over a multi-chunk stream — per-chunk dispatch

@@ -20,6 +20,20 @@ from kfnet_tpu.pose import metrics as pose_metrics
 from kfnet_tpu.pose import ransac
 
 
+def make_pose_solver(K, stride: int = 8,
+                     config: ransac.RansacConfig = ransac.RansacConfig()):
+  """One jitted, vmapped per-frame PnP-RANSAC over stacked maps —
+  (coords (T,h,w,3), covariance (T,h,w,1), keys (T,)) → ransac output
+  dict. THE shared pose-solve entry for batch/streaming/measurement eval,
+  the benchmark, and the offline dump tool (validity is all-ones: map
+  cells are weighted by covariance inside the solver)."""
+  K = jnp.asarray(K)
+  return jax.jit(jax.vmap(
+      lambda c, P, k: ransac.solve_pnp_from_maps(
+          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
+          config=config)))
+
+
 @dataclasses.dataclass
 class EvalResult:
   poses: np.ndarray          # (T, 4, 4) estimated camera-to-world
@@ -44,10 +58,7 @@ def evaluate_sequence(params, config: kfnet.KFNetConfig,
   rng = rng if rng is not None else jax.random.key(0)
 
   run = jax.jit(lambda p, im: sequence.run_filter(p, config, im)[:2])
-  solve = jax.jit(jax.vmap(
-      lambda c, P, k: ransac.solve_pnp_from_maps(
-          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
-          config=ransac_config)))
+  solve = make_pose_solver(K, stride=stride, config=ransac_config)
 
   from kfnet_tpu.utils.timing import sync
 
@@ -84,10 +95,7 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
   single-frame baseline row (SURVEY.md §6)."""
   rng = rng if rng is not None else jax.random.key(0)
   measure = jax.jit(jax.vmap(lambda im: kfnet.measure(params, config, im)))
-  solve = jax.jit(jax.vmap(
-      lambda c, P, k: ransac.solve_pnp_from_maps(
-          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
-          config=ransac_config)))
+  solve = make_pose_solver(K, stride=stride, config=ransac_config)
   from kfnet_tpu.utils.timing import sync
 
   keys = jax.random.split(rng, images.shape[0])
@@ -122,10 +130,7 @@ def evaluate_sequence_streaming(params, config: kfnet.KFNetConfig,
   transfer, so fps here is a streaming number, not the kernel number.
   """
   rng = rng if rng is not None else jax.random.key(0)
-  solve = jax.jit(jax.vmap(
-      lambda c, P, k: ransac.solve_pnp_from_maps(
-          c, P, jnp.ones_like(P, bool), K, k, stride=stride,
-          config=ransac_config)))
+  solve = make_pose_solver(K, stride=stride, config=ransac_config)
   xs_all, Ps_all, poses = [], [], []
   t0 = time.perf_counter()
 

@@ -38,7 +38,13 @@ def load_dump_sequence(seq_dir: str):
   files = sorted(glob.glob(os.path.join(seq_dir, "frame-*.npz")))
   if not files:
     raise FileNotFoundError(f"no frame-*.npz dumps in {seq_dir}")
-  frames = [np.load(f) for f in files]
+  frames = []
+  for f in files:
+    # copy arrays and close each file eagerly: np.load holds the zip fd
+    # open lazily, and a 1000-frame sequence would exhaust the default
+    # fd limit if all handles stayed live.
+    with np.load(f) as fr:
+      frames.append({k: np.asarray(fr[k]) for k in fr.files})
   out = {k: np.stack([fr[k] for fr in frames])
          for k in ("coords", "covariance", "pose")}
   out["pose_gt"] = (np.stack([fr["pose_gt"] for fr in frames])
@@ -51,11 +57,9 @@ def solve_sequence(coords: np.ndarray, covariance: np.ndarray,
                    config: ransac.RansacConfig,
                    seed: int = 0) -> np.ndarray:
   """Batched per-frame PnP over a whole dumped sequence → (T, 4, 4)."""
+  from kfnet_tpu.eval import eval_sequence
   keys = jax.random.split(jax.random.key(seed), coords.shape[0])
-  solve = jax.jit(jax.vmap(
-      lambda c, P, k: ransac.solve_pnp_from_maps(
-          c, P, jnp.ones_like(P, bool), jnp.asarray(K), k,
-          stride=stride, config=config)))
+  solve = eval_sequence.make_pose_solver(K, stride=stride, config=config)
   return np.asarray(solve(jnp.asarray(coords), jnp.asarray(covariance),
                           keys)["T_wc"])
 

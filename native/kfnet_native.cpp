@@ -189,7 +189,11 @@ int kfn_png_decode_rgb_f32(const uint8_t*, size_t, float*);
 //   images: (n, height, width, 3) f32 out. coords: (n, h, w, 3) f32 out.
 //   valid: (n, h, w) u8 out, where h = height/stride, w = width/stride.
 //
-// Returns 0 on success, else -(1 + index of the first failing frame).
+// Returns 0 on success, else -(1 + 2*index + which) for the lowest-index
+// failure observed, where which = 0 for the color file and 1 for the
+// depth file (a plain "first writer" store would let a racing later
+// frame mask an earlier one, and the caller could not tell which of the
+// two files to inspect).
 int kfn_load_batch(const char** color_paths, const char** depth_paths,
                    int n, int width, int height, const float* K,
                    const float* T_wc, int stride, float depth_scale,
@@ -200,7 +204,14 @@ int kfn_load_batch(const char** color_paths, const char** depth_paths,
   const size_t img_stride = size_t(height) * width * 3;
   const size_t lab_stride = size_t(hs) * ws;
   std::atomic<int> next(0);
-  std::atomic<int> first_error(-1);
+  std::atomic<int> first_error(-1);  // packed 2*index + which, CAS-min
+  auto record_error = [&](int i, int which) {
+    int packed = i * 2 + which;
+    int cur = first_error.load();
+    while ((cur < 0 || packed < cur) &&
+           !first_error.compare_exchange_weak(cur, packed)) {
+    }
+  };
 
   auto worker = [&]() {
     std::vector<uint8_t> bytes;
@@ -209,14 +220,14 @@ int kfn_load_batch(const char** color_paths, const char** depth_paths,
       if (i >= n || first_error.load() >= 0) return;
       // color
       if (!read_file(color_paths[i], bytes)) {
-        first_error.store(i);
+        record_error(i, 0);
         return;
       }
       PngInfo info = parse_info(bytes.data(), bytes.size());
       if (!info.ok || int(info.width) != width || int(info.height) != height ||
           kfn_png_decode_rgb_f32(bytes.data(), bytes.size(),
                                  images + size_t(i) * img_stride) != 0) {
-        first_error.store(i);
+        record_error(i, 0);
         return;
       }
       // labels
@@ -235,7 +246,7 @@ int kfn_load_batch(const char** color_paths, const char** depth_paths,
                               min_depth, max_depth, invalid_value, c, v,
                               &oh, &ow) != 0 ||
           oh != hs || ow != ws) {
-        first_error.store(i);
+        record_error(i, 1);
         return;
       }
     }

@@ -109,7 +109,17 @@ def test_load_batch_matches_per_frame(tmp_path):
 def test_load_batch_error_names_frame(tmp_path):
   cpaths, dpaths, poses, K = _write_scene(tmp_path, n=3)
   cpaths[1] = str(tmp_path / "missing.png")
-  with pytest.raises(ValueError, match="frame 1"):
+  with pytest.raises(ValueError, match="frame 1.*color"):
+    native_io.load_batch(cpaths, dpaths, poses, K, width=64, height=48)
+
+
+def test_load_batch_error_names_depth_file(tmp_path):
+  """A depth-side failure must point at the DEPTH file, not the (fine)
+  color file of the same frame."""
+  cpaths, dpaths, poses, K = _write_scene(tmp_path, n=3)
+  bad = str(tmp_path / "missing-depth.png")
+  dpaths[2] = bad
+  with pytest.raises(ValueError, match="frame 2.*depth"):
     native_io.load_batch(cpaths, dpaths, poses, K, width=64, height=48)
 
 
