@@ -324,9 +324,10 @@ def conv_block(out_ch: int, kernel: int = 3, stride: int = 1,
   """conv [+ norm] [+ ReLU] — the reference's standard unit.
 
   norm: "group" / True → GroupNorm; "none" / False → plain conv+bias (the
-  reference's caffe-style nets use no normalization; it is also ~2x faster
-  per step on TPU since GN's reductions dominate the conv time at these
-  spatial sizes — see docs/DESIGN.md §6).
+  reference's caffe-style nets use no normalization; since the one-pass
+  spatial-reduce GN rewrite the norm costs only ~0.1 ms of the ~2.4 ms
+  filter step — see docs/DESIGN.md §6 — so "none" is for reference-parity
+  imports, not speed).
   """
   use_norm = norm is True or norm == "group"
   ls = [conv(out_ch, kernel, stride, use_bias=not use_norm,
