@@ -120,6 +120,10 @@ def main(argv=None):
   p.add_argument("--steps", type=int, default=1500)
   p.add_argument("--oflownet_steps", type=int, default=1000)
   p.add_argument("--joint_steps", type=int, default=0)
+  p.add_argument("--joint_window", type=int, default=0,
+                 help=">2: stage 3 trains the T-frame BPTT window "
+                      "objective (rematerialized scan body — O(1) "
+                      "activation memory in T) instead of 2-frame pairs")
   p.add_argument("--height", type=int, default=96)
   p.add_argument("--width", type=int, default=128)
   p.add_argument("--train_frames", type=int, default=48)
@@ -191,14 +195,26 @@ def main(argv=None):
 
   if args.joint_steps > 0:
     # stage 3: joint filtering fine-tune (posterior NLL through both nets)
-    joint_loss = objectives.kfnet_objective(cfg)
-    pair_all = {
-        "image_prev": train["images"][:-1], "image": train["images"][1:],
-        "coords": coords[1:], "valid": valid[1:]}
-    joint_state, _ = fit_on_device(
-        joint_loss, params, pair_all, args.joint_steps,
-        args.learning_rate * 0.1, batch=2 if args.full_size else 4,
-        chunk=50 if args.full_size else 250, tag="joint", seed=2)
+    if args.joint_window > 2:
+      # T-frame BPTT with the rematerialized scan body: windows gather on
+      # device from the raw video (fit_on_device window mode).
+      joint_loss = objectives.kfnet_window_objective(cfg, remat=True)
+      seq_all = {"images": train["images"], "coords": coords,
+                 "valid": valid}
+      joint_state, _ = fit_on_device(
+          joint_loss, params, seq_all, args.joint_steps,
+          args.learning_rate * 0.1, batch=1 if args.full_size else 2,
+          chunk=50 if args.full_size else 250, tag="joint-bptt", seed=2,
+          window=args.joint_window)
+    else:
+      joint_loss = objectives.kfnet_objective(cfg)
+      pair_all = {
+          "image_prev": train["images"][:-1], "image": train["images"][1:],
+          "coords": coords[1:], "valid": valid[1:]}
+      joint_state, _ = fit_on_device(
+          joint_loss, params, pair_all, args.joint_steps,
+          args.learning_rate * 0.1, batch=2 if args.full_size else 4,
+          chunk=50 if args.full_size else 250, tag="joint", seed=2)
     params = joint_state.params
 
   rcfg = configs.synthetic_ransac(args.full_size)

@@ -19,8 +19,16 @@ from kfnet_tpu.train import trainer
 
 def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
                   batch: int = 8, chunk: int = 250, seed: int = 0,
-                  tag: str = "", log=print):
+                  tag: str = "", log=print, window: int = 0):
   """Train ``steps`` optimizer steps on the device-resident ``data``.
+
+  window: when > 0, ``data`` holds one time-contiguous sequence per key
+  (leading axis = time) and each minibatch row is a WINDOW of ``window``
+  consecutive frames gathered on device (idx shape (batch, window) →
+  batch leading dims (batch, window, ...)) — the input contract of
+  ``objectives.kfnet_window_objective``. The windows are never
+  materialized host-side (a (n-T+1, T, H, W, 3) tensor would be tens of
+  GB at full size); ``jnp.take`` gathers them per step in HBM.
 
   Returns (final TrainState, last-step metrics dict)."""
   opt = trainer.make_optimizer(trainer.OptimizerConfig(learning_rate=lr))
@@ -31,6 +39,8 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
   state = trainer.create_state(params, opt)
   data = jax.device_put(data)
   n = next(iter(data.values())).shape[0]
+  if window > n:
+    raise ValueError(f"window {window} exceeds sequence length {n}")
 
   def one_step(data, s, idx):
     b = jax.tree_util.tree_map(lambda v: jnp.take(v, idx, axis=0), data)
@@ -57,7 +67,11 @@ def fit_on_device(loss_fn, params, data: dict, steps: int, lr: float,
     k = min(chunk, steps - done)
     # k rows exactly: a short tail costs one extra compile but never
     # trains more steps than requested.
-    idxs = jnp.asarray(rng.integers(0, n, size=(k, batch)))
+    if window > 0:
+      starts = rng.integers(0, n - window + 1, size=(k, batch, 1))
+      idxs = jnp.asarray(starts + np.arange(window))
+    else:
+      idxs = jnp.asarray(rng.integers(0, n, size=(k, batch)))
     state, m = run_chunk(state, idxs, data)
     done += k
     if log:

@@ -104,6 +104,27 @@ def test_kfnet_window_objective_bptt():
                                rtol=2e-3, atol=1e-5)
 
 
+def test_fit_on_device_window_mode():
+  """device_fit window mode: minibatch rows are T-frame windows gathered
+  on device from the raw sequence (the demo/protocol stage-3 BPTT path)."""
+  from kfnet_tpu.train.device_fit import fit_on_device
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(11), cfg, tc.IMG)
+  seq = synth_batch(n=6, seed=13, pairs=False)
+  data = {"images": seq["image"], "coords": seq["coords"],
+          "valid": seq["valid"]}
+  loss_fn = objectives.kfnet_window_objective(cfg, remat=True)
+  state, m = fit_on_device(loss_fn, params, data, steps=3, lr=1e-3,
+                           batch=2, chunk=2, window=4, log=None)
+  assert int(state.step) == 3
+  assert np.isfinite(float(m["loss"]))
+  import pytest
+  with pytest.raises(ValueError, match="window"):
+    fit_on_device(loss_fn, params, data, steps=1, lr=1e-3, batch=1,
+                  window=7, log=None)
+
+
 def test_checkpoint_resume(tmp_path):
   cfg = tc.tiny_scoordnet()
   params = scoordnet.init(jax.random.key(3), cfg, tc.IMG)
