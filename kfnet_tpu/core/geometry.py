@@ -247,12 +247,20 @@ def polar_rotation(M: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
 
 
 def orthonormalize_rotation(M: jnp.ndarray) -> jnp.ndarray:
-  """Project a (..., 3, 3) near-rotation (det>0) to the nearest rotation.
+  """Project a (..., 3, 3) near-rotation to a PROPER rotation (det=+1).
 
-  Polar Newton, not SVD — see polar_rotation. (The SVD route with the
-  det(UVᵀ) reflection fix lives in orthonormalize_rotation_svd for
-  reference/tests.)"""
-  return polar_rotation(M)
+  Polar Newton, not SVD — see polar_rotation. The polar factor preserves
+  det sign, so a det<0 input (garbage hypothesis from a degenerate
+  coordinate map) would come out a reflection; flip one column first so
+  the output is always in SO(3). For det<0 this is not the
+  Frobenius-nearest rotation (that needs the SVD reflection fix, kept in
+  orthonormalize_rotation_svd), but such inputs are RANSAC rejects — the
+  contract that matters downstream is det=+1. (review r2 finding #3)"""
+  det = jnp.linalg.det(M)
+  flip = jnp.where(det < 0, -1.0, 1.0).astype(M.dtype)
+  col_scale = jnp.stack(
+      [jnp.ones_like(flip), jnp.ones_like(flip), flip], axis=-1)
+  return polar_rotation(M * col_scale[..., None, :])
 
 
 def orthonormalize_rotation_svd(M: jnp.ndarray) -> jnp.ndarray:

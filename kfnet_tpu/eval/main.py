@@ -108,12 +108,24 @@ def main(argv=None):
       seq_name = seq_frames[0].seq
       os.makedirs(os.path.join(args.dump_dir, seq_name), exist_ok=True)
       meta_path = os.path.join(args.dump_dir, "meta.json")
-      if not os.path.exists(meta_path):
+      meta = {"intrinsics": np.asarray(K).tolist(),
+              "stride": exp.dataset.stride,
+              "scene": exp.scene,
+              "dataset": exp.dataset.name}
+      if os.path.exists(meta_path):
+        # Refuse to mix runs: a stale meta from a different scene/camera
+        # would make tools/eval_poses.py solve the new maps with the wrong
+        # intrinsics and report confidently wrong medians.
+        with open(meta_path) as f:
+          old = json.load(f)
+        if old != meta:
+          raise ValueError(
+              f"--dump_dir {args.dump_dir} already holds a dump for "
+              f"{old.get('dataset')}/{old.get('scene')} with different "
+              f"meta; use a fresh directory per scene/run")
+      else:
         with open(meta_path, "w") as f:
-          json.dump({"intrinsics": np.asarray(K).tolist(),
-                     "stride": exp.dataset.stride,
-                     "scene": exp.scene,
-                     "dataset": exp.dataset.name}, f, indent=2)
+          json.dump(meta, f, indent=2)
       for t, fr in enumerate(seq_frames):
         np.savez_compressed(
             os.path.join(args.dump_dir, seq_name, f"frame-{fr.index:06d}"),

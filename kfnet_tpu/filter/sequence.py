@@ -186,6 +186,39 @@ def run_filter_batched(params, config: kfnet.KFNetConfig,
   return xs, Ps
 
 
+def run_filter_fleet(params, config: kfnet.KFNetConfig,
+                     images: jnp.ndarray, mesh,
+                     axis_name: str = "data"):
+  """Multi-chip serving: B independent sequences sharded over the mesh.
+
+  The batched lockstep scan (:func:`run_filter_batched`) is pure data
+  parallelism — streams never interact — so sharding the B axis over the
+  mesh needs NO collectives inside the scan: GSPMD partitions every op
+  along B and each chip filters its own B/n streams at single-chip speed.
+  Aggregate throughput scales linearly with chips (SURVEY.md §2.2
+  parallelism checklist, DP row; the reference is single-GPU).
+
+  Args:
+    images: (T, B, H, W, 3) time-major stack; B must divide the mesh size.
+    mesh: a 1-D ``jax.sharding.Mesh`` (e.g. ``parallel.mesh.make_mesh()``).
+
+  Returns:
+    xs (T, B, h, w, 3), Ps (T, B, h, w, 1), sharded along B on the mesh.
+  """
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  n = mesh.devices.size
+  B = images.shape[1]
+  if B % n:
+    raise ValueError(f"batch {B} must be divisible by mesh size {n}")
+  seq_sh = NamedSharding(mesh, P(None, axis_name))
+  images = jax.device_put(images, seq_sh)
+  params = jax.device_put(params, NamedSharding(mesh, P()))
+  fn = jax.jit(run_filter_batched, static_argnames=("config",),
+               out_shardings=(seq_sh, seq_sh))
+  return fn(params, config, images)
+
+
 def run_filter_python_loop(params, config: kfnet.KFNetConfig,
                            images: jnp.ndarray):
   """Reference-shaped python loop (one step per frame, like the TF1

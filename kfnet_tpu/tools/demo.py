@@ -62,7 +62,10 @@ def consistency_experiment(params, cfg, scene, K, H, W, base_poses):
       lambda d, T: labels.generate(d, K, T, stride=8))(depths, poses)
 
   def run(chi2_threshold):
-    c = _dc.replace(cfg, chi2_threshold=chi2_threshold)
+    # use_pallas=False: the diagnostics below need aux["x_prior"/"P_prior"],
+    # which the fused Pallas kernel doesn't materialize (kfnet._fused_update
+    # returns prior=None on that path).
+    c = _dc.replace(cfg, chi2_threshold=chi2_threshold, use_pallas=False)
     xs, Ps, _, aux = jax.jit(
         lambda p, im: seq_lib.run_filter(p, c, im, return_aux=True))(
             params, imgs)

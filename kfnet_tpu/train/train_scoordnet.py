@@ -70,22 +70,29 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
 
   load_fns = [functools.partial(load_with_labels, fr) for fr in split.frames]
 
-  # native batch-loader metadata (7/12-Scenes PNG layout; Cambridge
-  # resizes images on load, which the native path doesn't do)
+  # native batch-loader metadata, built lazily (pose reads are thousands of
+  # small file reads — only pay them if the native path is actually taken).
+  # The native decoder is PNG-only: Cambridge resizes on load and 12-Scenes
+  # ships JPEG color frames, so gate on the on-disk extensions, not the
+  # dataset name.
   native_meta = None
-  if adapter.name != "cambridge":
-    native_meta = {
-        "color_paths": [fr.color_path for fr in split.frames],
-        "depth_paths": [fr.depth_path for fr in split.frames],
-        "poses": np.stack([s7.read_pose(fr.pose_path)
-                           for fr in split.frames]),
-        "K": np.asarray(K, np.float32),
-        "image_size": img_hw,  # actual on-disk frame dims
-        "stride": stride,
-        "depth_scale": exp.dataset.depth_scale,
-        "min_depth": exp.dataset.min_depth,
-        "max_depth": exp.dataset.max_depth,
-    }
+  native_ok = adapter.name != "cambridge" and all(
+      fr.color_path.endswith(".png") and fr.depth_path.endswith(".png")
+      for fr in split.frames)
+  if native_ok:
+    def native_meta():
+      return {
+          "color_paths": [fr.color_path for fr in split.frames],
+          "depth_paths": [fr.depth_path for fr in split.frames],
+          "poses": np.stack([s7.read_pose(fr.pose_path)
+                             for fr in split.frames]),
+          "K": np.asarray(K, np.float32),
+          "image_size": img_hw,  # actual on-disk frame dims
+          "stride": stride,
+          "depth_scale": exp.dataset.depth_scale,
+          "min_depth": exp.dataset.min_depth,
+          "max_depth": exp.dataset.max_depth,
+      }
   return load_fns, (mean, std), native_meta
 
 
@@ -125,7 +132,7 @@ def main(argv=None):
     logger.log_text("using native batch loader (kfn_load_batch)")
     batches = pipeline.batched_native(
         batch_size=exp.batch_size, seed=exp.seed,
-        augment=pipeline.AugmentConfig(crop=None), **native_meta)
+        augment=pipeline.AugmentConfig(crop=None), **native_meta())
   else:
     batches = pipeline.batched(
         load_fns, exp.batch_size, seed=exp.seed,

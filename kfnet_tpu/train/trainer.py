@@ -18,6 +18,7 @@ from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from kfnet_tpu.parallel import mesh as mesh_lib
@@ -170,8 +171,12 @@ def fit(loss_fn: Callable,
           return
         # a short tail group (stream exhausted) is still trained — one
         # extra compile for its shape, but no batches silently dropped.
+        # Stack on the HOST (np, not jnp): a jnp.stack would commit the
+        # whole (K, B, ...) group to the default device before the mesh
+        # branch re-device_puts it sharded — an extra full-group transfer
+        # per dispatch on multi-device runs.
         yield jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *group)
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
         if len(group) < K:
           return
 

@@ -77,3 +77,36 @@ def test_dp_multi_step_loss_decreases(mesh):
       mesh=mesh)
   l1, _ = loss_fn(state.params, batch)
   assert float(l1) < float(l0)
+
+
+def test_fleet_filter_matches_single_device(mesh):
+  """Multi-chip serving (run_filter_fleet): 8 independent streams sharded
+  over the 8-device mesh must match the single-device batched scan."""
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(7), cfg, tc.IMG)
+  streams = [tc.random_images(4, seed=20 + b) for b in range(8)]
+  batch = jnp.stack(streams, axis=1)  # (T, B=8, H, W, 3)
+
+  xs0, Ps0 = sequence.run_filter_batched(params, cfg, batch)
+  xs1, Ps1 = sequence.run_filter_fleet(params, cfg, batch, mesh)
+
+  # each stream lives on exactly one device; no cross-stream collectives
+  shards = xs1.addressable_shards
+  assert len(shards) == 8
+  assert all(s.data.shape[1] == 1 for s in shards)
+  np.testing.assert_allclose(np.asarray(xs1), np.asarray(xs0), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(Ps1), np.asarray(Ps0), atol=1e-5)
+
+
+def test_fleet_filter_rejects_indivisible_batch(mesh):
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(7), cfg, tc.IMG)
+  batch = jnp.stack([tc.random_images(3, seed=1)] * 3, axis=1)
+  with pytest.raises(ValueError, match="divisible"):
+    sequence.run_filter_fleet(params, cfg, batch, mesh)
