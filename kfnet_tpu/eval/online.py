@@ -96,3 +96,121 @@ class OnlineRelocalizer:
   def state(self):
     """Current (x, P, features) carry (device arrays)."""
     return self._carry
+
+
+class FleetRelocalizer:
+  """B camera sessions filtered in lockstep — the multi-stream serving
+  surface (one jitted, vmapped step per tick; state donated in HBM).
+
+  Sessions join/leave via per-slot reset: a reset slot's frame is treated
+  as its sequence's first frame (posterior = measurement, exactly
+  ``kfnet.first_step`` semantics — the χ²-reset fallback formalized as an
+  input). With ``mesh`` given, slots shard over the devices like
+  :func:`kfnet_tpu.filter.sequence.run_filter_fleet` — streams never
+  interact, so the step has zero collectives and scales linearly.
+
+      fleet = FleetRelocalizer(params, config, K, batch_size=8)
+      poses, info = fleet.process(frames)            # (B, H, W, 3)
+      poses, info = fleet.process(frames, reset=[False]*7 + [True])
+  """
+
+  def __init__(self, params, config: kfnet.KFNetConfig, K,
+               batch_size: int,
+               ransac_config: ransac.RansacConfig | None = None,
+               stride: int = 8, solve_pose: bool = True,
+               seed: int = 0, mesh=None, axis_name: str = "data"):
+    self._params = params
+    self._B = batch_size
+    self._K = jnp.asarray(K)
+    self._rcfg = ransac_config or ransac.RansacConfig()
+    self._stride = stride
+    self._solve = solve_pose
+    self._carry = None
+    self._rng = jax.random.key(seed)
+    self._ticks = 0
+    self._slot_sh = None
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      if batch_size % mesh.devices.size:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"mesh size {mesh.devices.size}")
+      self._slot_sh = NamedSharding(mesh, P(axis_name))
+      self._params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    cfg = config
+
+    @jax.jit
+    def _first(params, images):
+      return jax.vmap(lambda im: kfnet.first_step(params, cfg, im))(images)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _step(params, carry, images, reset):
+      x, P, feat = carry
+      x1, P1, feat1, aux = jax.vmap(
+          lambda x, P, f, im: kfnet.filter_step(params, cfg, x, P, f, im))(
+              x, P, feat, images)
+      m = reset[:, None, None, None]
+      x1 = jnp.where(m, aux["z"], x1)
+      P1 = jnp.where(m, aux["V"], P1)
+      frac = jnp.where(
+          reset, 0.0,
+          jnp.mean(aux["consistent"].astype(jnp.float32), axis=(1, 2, 3)))
+      return (x1, P1, feat1), frac
+
+    @jax.jit
+    def _pose(xs, Ps, keys):
+      return jax.vmap(
+          lambda x, P, k: ransac.solve_pnp_from_maps(
+              x, P, jnp.ones_like(P, dtype=bool), self._K, k,
+              stride=self._stride, config=self._rcfg))(xs, Ps, keys)
+
+    self._first_fn = _first
+    self._step_fn = _step
+    self._pose_fn = _pose
+
+  def reset(self):
+    """Drop ALL slots' temporal state (per-slot resets go through
+    ``process(..., reset=mask)``)."""
+    self._carry = None
+
+  def _put(self, x):
+    return jax.device_put(x, self._slot_sh) if self._slot_sh else x
+
+  def process(self, images, reset=None):
+    """Feed one (B, H, W, 3) tick; returns (poses (B, 4, 4) or None, info).
+
+    Args:
+      reset: optional (B,) bool mask — True slots start a new session at
+        this frame (their posterior = this frame's measurement).
+
+    info: per-slot arrays — consistent_frac (B,), and num_inliers /
+    inlier_ratio (B,) when pose solving is enabled.
+    """
+    images = self._put(jnp.asarray(images))
+    if images.shape[0] != self._B:
+      raise ValueError(f"expected batch {self._B}, got {images.shape[0]}")
+    info: dict = {"tick": self._ticks}
+    if self._carry is None:
+      x, P, feat = self._first_fn(self._params, images)
+      self._carry = (x, P, feat)
+      info["consistent_frac"] = np.zeros(self._B, np.float32)
+    else:
+      mask = (np.zeros(self._B, bool) if reset is None
+              else np.asarray(reset, bool))
+      self._carry, frac = self._step_fn(
+          self._params, self._carry, images, self._put(jnp.asarray(mask)))
+      info["consistent_frac"] = np.asarray(frac)
+    self._ticks += 1
+    if not self._solve:
+      return None, info
+    self._rng, sub = jax.random.split(self._rng)
+    keys = jax.random.split(sub, self._B)
+    out = self._pose_fn(self._carry[0], self._carry[1], self._put(keys))
+    info["num_inliers"] = np.asarray(out["num_inliers"])
+    info["inlier_ratio"] = np.asarray(out["inlier_ratio"])
+    return np.asarray(out["T_wc"]), info
+
+  @property
+  def state(self):
+    """Current (x, P, features) carry, batched over slots."""
+    return self._carry

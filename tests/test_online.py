@@ -42,3 +42,61 @@ def test_online_pose_and_reset():
   reloc.reset()
   pose2, info2 = reloc.process(np.asarray(imgs[1]))
   assert info2["consistent_frac"] == 0.0  # measurement-only after reset
+
+
+def test_fleet_matches_independent_streams():
+  """FleetRelocalizer (B slots in lockstep) must track B independent
+  single-stream filters exactly, including a mid-stream per-slot reset."""
+  from kfnet_tpu.eval.online import FleetRelocalizer
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(9), cfg, tc.IMG)
+  streams = [tc.random_images(4, seed=30 + b) for b in range(3)]
+
+  fleet = FleetRelocalizer(params, cfg, np.eye(3, dtype=np.float32),
+                           batch_size=3, solve_pose=False)
+  for t in range(4):
+    tick = np.stack([np.asarray(s[t]) for s in streams])
+    # slot 2 restarts its session at frame 2
+    reset = np.array([False, False, t == 2])
+    _, info = fleet.process(tick, reset=reset)
+  x, P, _ = fleet.state
+
+  # slots 0/1: plain filtered streams
+  for b in range(2):
+    xs, Ps, _ = sequence.run_filter(params, cfg, streams[b])
+    np.testing.assert_allclose(np.asarray(x[b]), np.asarray(xs[-1]),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(P[b]), np.asarray(Ps[-1]),
+                               rtol=1e-5, atol=2e-5)
+  # slot 2: a fresh sequence starting at its frame 2
+  xs2, Ps2, _ = sequence.run_filter(params, cfg, streams[2][2:])
+  np.testing.assert_allclose(np.asarray(x[2]), np.asarray(xs2[-1]),
+                             rtol=1e-5, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(P[2]), np.asarray(Ps2[-1]),
+                             rtol=1e-5, atol=2e-5)
+  assert info["consistent_frac"].shape == (3,)
+
+
+def test_fleet_pose_solve_and_mesh():
+  """Pose solving returns per-slot poses; with a mesh the slot axis
+  shards over the devices (zero-collective DP serving)."""
+  from kfnet_tpu.eval.online import FleetRelocalizer
+  from kfnet_tpu.parallel import mesh as mesh_lib
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(11), cfg, tc.IMG)
+  K = np.asarray([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+  mesh = mesh_lib.make_mesh(8)
+  fleet = FleetRelocalizer(
+      params, cfg, K, batch_size=8, mesh=mesh,
+      ransac_config=ransac.RansacConfig(num_hypotheses=16, top_k=32))
+  imgs = np.stack([np.asarray(tc.random_images(1, seed=40 + b)[0])
+                   for b in range(8)])
+  poses, info = fleet.process(imgs)
+  poses, info = fleet.process(imgs)
+  assert poses.shape == (8, 4, 4)
+  assert np.isfinite(poses).all()
+  assert info["inlier_ratio"].shape == (8,)
+  x, _, _ = fleet.state
+  assert len(x.addressable_shards) == 8
