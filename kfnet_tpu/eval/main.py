@@ -74,6 +74,29 @@ def main(argv=None):
     split = adapter.load_split(exp.input_folder, exp.scene, "test",
                                intrinsics=exp.dataset.intrinsics)
   K = jnp.asarray(split.intrinsics)
+  if args.dump_dir:
+    # Fail FAST on a stale dump dir (before any sequence is filtered):
+    # a meta.json from a different scene/camera would make
+    # tools/eval_poses.py solve the new maps with the wrong intrinsics
+    # and report confidently wrong medians.
+    import os
+    meta = {"intrinsics": np.asarray(K).tolist(),
+            "stride": exp.dataset.stride,
+            "scene": exp.scene,
+            "dataset": exp.dataset.name}
+    meta_path = os.path.join(args.dump_dir, "meta.json")
+    if os.path.exists(meta_path):
+      with open(meta_path) as f:
+        old = json.load(f)
+      if old != meta:
+        raise ValueError(
+            f"--dump_dir {args.dump_dir} already holds a dump for "
+            f"{old.get('dataset')}/{old.get('scene')} with different "
+            f"meta; use a fresh directory per scene/run")
+    else:
+      os.makedirs(args.dump_dir, exist_ok=True)
+      with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
   reports = []
   for i, seq_frames in enumerate(adapter.iter_sequences(split)):
     frames = [adapter.load_frame_with_split(split, fr) for fr in seq_frames]
@@ -107,25 +130,6 @@ def main(argv=None):
       import os
       seq_name = seq_frames[0].seq
       os.makedirs(os.path.join(args.dump_dir, seq_name), exist_ok=True)
-      meta_path = os.path.join(args.dump_dir, "meta.json")
-      meta = {"intrinsics": np.asarray(K).tolist(),
-              "stride": exp.dataset.stride,
-              "scene": exp.scene,
-              "dataset": exp.dataset.name}
-      if os.path.exists(meta_path):
-        # Refuse to mix runs: a stale meta from a different scene/camera
-        # would make tools/eval_poses.py solve the new maps with the wrong
-        # intrinsics and report confidently wrong medians.
-        with open(meta_path) as f:
-          old = json.load(f)
-        if old != meta:
-          raise ValueError(
-              f"--dump_dir {args.dump_dir} already holds a dump for "
-              f"{old.get('dataset')}/{old.get('scene')} with different "
-              f"meta; use a fresh directory per scene/run")
-      else:
-        with open(meta_path, "w") as f:
-          json.dump(meta, f, indent=2)
       for t, fr in enumerate(seq_frames):
         np.savez_compressed(
             os.path.join(args.dump_dir, seq_name, f"frame-{fr.index:06d}"),

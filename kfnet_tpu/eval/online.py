@@ -157,16 +157,12 @@ class FleetRelocalizer:
           jnp.mean(aux["consistent"].astype(jnp.float32), axis=(1, 2, 3)))
       return (x1, P1, feat1), frac
 
-    @jax.jit
-    def _pose(xs, Ps, keys):
-      return jax.vmap(
-          lambda x, P, k: ransac.solve_pnp_from_maps(
-              x, P, jnp.ones_like(P, dtype=bool), self._K, k,
-              stride=self._stride, config=self._rcfg))(xs, Ps, keys)
-
+    from kfnet_tpu.eval import eval_sequence
     self._first_fn = _first
     self._step_fn = _step
-    self._pose_fn = _pose
+    # the shared jitted vmapped PnP entry (eval_sequence.make_pose_solver)
+    self._pose_fn = eval_sequence.make_pose_solver(
+        self._K, stride=self._stride, config=self._rcfg)
 
   def reset(self):
     """Drop ALL slots' temporal state (per-slot resets go through
@@ -174,7 +170,12 @@ class FleetRelocalizer:
     self._carry = None
 
   def _put(self, x):
-    return jax.device_put(x, self._slot_sh) if self._slot_sh else x
+    """One sharded transfer for host inputs (device_put straight to the
+    slot sharding — never jnp.asarray first, which would commit the whole
+    tick to device 0 and reshard); no-op placement without a mesh."""
+    if self._slot_sh is not None:
+      return jax.device_put(x, self._slot_sh)
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
 
   def process(self, images, reset=None):
     """Feed one (B, H, W, 3) tick; returns (poses (B, 4, 4) or None, info).
@@ -186,7 +187,8 @@ class FleetRelocalizer:
     info: per-slot arrays — consistent_frac (B,), and num_inliers /
     inlier_ratio (B,) when pose solving is enabled.
     """
-    images = self._put(jnp.asarray(images))
+    images = self._put(np.asarray(images) if not isinstance(images, jax.Array)
+                       else images)
     if images.shape[0] != self._B:
       raise ValueError(f"expected batch {self._B}, got {images.shape[0]}")
     info: dict = {"tick": self._ticks}
@@ -198,7 +200,7 @@ class FleetRelocalizer:
       mask = (np.zeros(self._B, bool) if reset is None
               else np.asarray(reset, bool))
       self._carry, frac = self._step_fn(
-          self._params, self._carry, images, self._put(jnp.asarray(mask)))
+          self._params, self._carry, images, self._put(mask))
       info["consistent_frac"] = np.asarray(frac)
     self._ticks += 1
     if not self._solve:

@@ -199,7 +199,7 @@ def run_filter_fleet(params, config: kfnet.KFNetConfig,
   parallelism checklist, DP row; the reference is single-GPU).
 
   Args:
-    images: (T, B, H, W, 3) time-major stack; B must divide the mesh size.
+    images: (T, B, H, W, 3) time-major stack; the mesh size must divide B.
     mesh: a 1-D ``jax.sharding.Mesh`` (e.g. ``parallel.mesh.make_mesh()``).
 
   Returns:

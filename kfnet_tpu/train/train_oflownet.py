@@ -85,7 +85,9 @@ def main(argv=None):
       jsonl_path=os.path.join(out_dir, "metrics.jsonl"),
       tensorboard_dir=os.path.join(out_dir, "tb"))
   loop = dataclasses.replace(exp.loop, checkpoint_dir=out_dir)
-  batches = pipeline.batched(load_fns, exp.batch_size, seed=exp.seed)
+  # host-side batches for K-step dispatch (trainer.grouped host stack)
+  batches = pipeline.batched(load_fns, exp.batch_size, seed=exp.seed,
+                             to_device=loop.steps_per_dispatch <= 1)
   state = trainer.fit(loss_fn, params, batches,
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),

@@ -127,16 +127,20 @@ def main(argv=None):
   # NB: crop is disabled by default so the pixel grid matches eval exactly;
   # enable AugmentConfig(crop=...) for regularization on small scenes.
   from kfnet_tpu.data import native_io
+  # K-step dispatch stacks K batches on the host before ONE sharded
+  # transfer — keep batches host-side in that mode (trainer.grouped).
+  to_device = loop.steps_per_dispatch <= 1
   if native_meta and not args.no_native_loader and native_io.available():
     # native C++ batch loader: one GIL-free decode+label call per batch
     logger.log_text("using native batch loader (kfn_load_batch)")
     batches = pipeline.batched_native(
         batch_size=exp.batch_size, seed=exp.seed,
-        augment=pipeline.AugmentConfig(crop=None), **native_meta())
+        augment=pipeline.AugmentConfig(crop=None), to_device=to_device,
+        **native_meta())
   else:
     batches = pipeline.batched(
         load_fns, exp.batch_size, seed=exp.seed,
-        augment=pipeline.AugmentConfig(crop=None))
+        augment=pipeline.AugmentConfig(crop=None), to_device=to_device)
   state = trainer.fit(loss_fn, params, batches,
                       optimizer_cfg=exp.optimizer, loop_cfg=loop,
                       mesh=mesh_lib.default_mesh(exp.batch_size),

@@ -171,12 +171,14 @@ def fit(loss_fn: Callable,
           return
         # a short tail group (stream exhausted) is still trained — one
         # extra compile for its shape, but no batches silently dropped.
-        # Stack on the HOST (np, not jnp): a jnp.stack would commit the
-        # whole (K, B, ...) group to the default device before the mesh
-        # branch re-device_puts it sharded — an extra full-group transfer
-        # per dispatch on multi-device runs.
+        # Stack WHERE THE DATA LIVES: host batches (pipelines pass
+        # to_device=False for K>1) stack with np and go up in ONE sharded
+        # device_put; batches already committed to a device stay there
+        # (np.asarray on them would be a D2H round trip over the slow
+        # tunnel — worse than the on-device stack + reshard).
         yield jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *group)
+            lambda *xs: (jnp.stack(xs) if isinstance(xs[0], jax.Array)
+                         else np.stack(xs)), *group)
         if len(group) < K:
           return
 

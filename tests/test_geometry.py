@@ -116,3 +116,27 @@ def test_polar_rotation_matches_svd_reference():
 def test_polar_rotation_degenerate_stays_finite():
   out = np.asarray(geo.polar_rotation(jnp.zeros((3, 3))))
   assert np.isfinite(out).all()
+
+
+def test_orthonormalize_rotation_fixes_reflections():
+  """det<0 inputs (garbage hypotheses) must still come out PROPER
+  rotations — the polar factor alone would preserve the reflection
+  (review r2)."""
+  from kfnet_tpu.core import geometry
+
+  rng = np.random.default_rng(3)
+  # near-rotations with a reflection: R @ diag(1,1,-1) + noise
+  R = np.asarray(geometry.orthonormalize_rotation_svd(
+      jnp.asarray(rng.normal(size=(16, 3, 3)).astype(np.float32))))
+  M = R * np.asarray([1.0, 1.0, -1.0], np.float32)[None, None, :]
+  M = M + 0.05 * rng.normal(size=M.shape).astype(np.float32)
+  out = np.asarray(geometry.orthonormalize_rotation(jnp.asarray(M)))
+  dets = np.linalg.det(out)
+  np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+  eye = np.einsum("bij,bkj->bik", out, out)
+  np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                             atol=1e-4)
+  # det>0 inputs are untouched by the flip: still the nearest rotation
+  Mp = R + 0.05 * rng.normal(size=R.shape).astype(np.float32)
+  outp = np.asarray(geometry.orthonormalize_rotation(jnp.asarray(Mp)))
+  np.testing.assert_allclose(np.linalg.det(outp), 1.0, atol=1e-4)
