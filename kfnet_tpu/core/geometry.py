@@ -36,16 +36,17 @@ def make_intrinsics(fx: float, fy: float, cx: float, cy: float) -> jnp.ndarray:
 SEVEN_SCENES_K = (585.0, 585.0, 320.0, 240.0)
 
 
-def pixel_grid(height: int, width: int, stride: int = 1) -> jnp.ndarray:
-  """(H, W, 2) map of (u, v) full-resolution pixel coordinates.
+def pixel_grid(height: int, width: int) -> jnp.ndarray:
+  """(H, W, 2) map of dense (u, v) full-resolution pixel coordinates.
 
-  With ``stride`` > 1 returns the coordinates of the *centers* of each
-  stride x stride cell of the full-resolution image, at the strided
-  resolution — i.e. the full-res pixel that a 1/stride coordinate map's
-  entry corresponds to.
+  For the full-res pixel each STRIDED map cell corresponds to, use
+  :func:`cell_center_grid` — the repo-wide convention is the integer
+  cell-center pixel ``(stride-1)//2 + stride*i`` (labels, native path,
+  PnP all agree on it). A fractional-center variant used to live here
+  and was a 0.5 px trap; it had no production caller and was removed.
   """
-  vs = jnp.arange(height, dtype=jnp.float32) * stride + (stride - 1) / 2.0
-  us = jnp.arange(width, dtype=jnp.float32) * stride + (stride - 1) / 2.0
+  vs = jnp.arange(height, dtype=jnp.float32)
+  us = jnp.arange(width, dtype=jnp.float32)
   u, v = jnp.meshgrid(us, vs, indexing="xy")
   return jnp.stack([u, v], axis=-1)
 
@@ -190,7 +191,15 @@ def axis_angle_to_matrix(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
-  """(..., 3, 3) rotation matrix -> (..., 3) axis-angle (log map)."""
+  """(..., 3, 3) rotation matrix -> (..., 3) axis-angle (log map).
+
+  Three regimes, all branchless: the generic v·theta/(2 sin theta) form;
+  a Taylor fallback at theta -> 0; and a symmetric-part reconstruction at
+  theta -> pi, where the antisymmetric part v vanishes (a plain
+  small-sin fallback would silently map 180-degree rotations to ~0 —
+  review r2). Near pi the axis sign is recovered from the row of the
+  largest axis component (globally ambiguous at exactly pi, where both
+  signs give the same R)."""
   trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
   cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
   theta = jnp.arccos(cos_t)
@@ -203,7 +212,25 @@ def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
   sin_t = jnp.sin(theta)
   scale = jnp.where(sin_t < 1e-6, 0.5 + theta * theta / 12.0,
                     theta / (2.0 * sin_t + 1e-24))
-  return v * scale[..., None]
+  w_generic = v * scale[..., None]
+
+  # theta ~ pi: S = (R+R^T)/2 = cos_t I + (1-cos_t) aa^T is
+  # well-conditioned there (1-cos_t ~ 2). |a_i| from the diagonal; signs
+  # from row k of aa^T with k = argmax |a| (a_k chosen positive).
+  Sym = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+  one_minus = jnp.maximum(1.0 - cos_t, 1e-12)[..., None]
+  diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+  a2 = jnp.clip((diag - cos_t[..., None]) / one_minus, 0.0, 1.0)
+  a = jnp.sqrt(a2)
+  k = jnp.argmax(a2, axis=-1)
+  onehot = (jnp.arange(3) == k[..., None]).astype(R.dtype)
+  row_k = jnp.einsum("...i,...ij->...j", onehot, Sym)
+  sign = jnp.where(row_k >= 0, 1.0, -1.0)
+  sign = jnp.where(onehot > 0, 1.0, sign)  # a_k itself is positive
+  w_pi = theta[..., None] * a * sign
+
+  near_pi = (sin_t < 1e-3) & (cos_t < 0.0)
+  return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
 def _inv3(M: jnp.ndarray) -> jnp.ndarray:

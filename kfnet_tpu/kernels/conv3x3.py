@@ -30,9 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, w_ref, b_ref, y_ref, xpad_ref, acc_ref, *,
             h: int, w: int, cin: int, relu: bool, has_bias: bool):
-  # stage zero-padded input once per grid program
-  xpad_ref[:, :, :] = jnp.zeros_like(xpad_ref)
-  xpad_ref[1:1 + h, 1:1 + w, :] = x_ref[:, :, :]
+  # stage the zero-padded input ONCE: the x block is grid-invariant
+  # (index_map (0,0,0)) and VMEM scratch persists across the sequential
+  # cout-tile grid steps, so re-staging per step would rewrite the ~5 MB
+  # pad 4x for nothing.
+  @pl.when(pl.program_id(0) == 0)
+  def _():
+    xpad_ref[:, :, :] = jnp.zeros_like(xpad_ref)
+    xpad_ref[1:1 + h, 1:1 + w, :] = x_ref[:, :, :]
 
   ct = y_ref.shape[-1]
   acc_ref[:, :] = jnp.zeros_like(acc_ref)
@@ -65,12 +70,25 @@ def _fused_kernel(x_ref, scale_ref, shift_ref, w_ref, y_ref, s1_ref,
   """
   j = pl.program_id(1)
 
-  xpad_ref[:, :, :] = jnp.zeros_like(xpad_ref)
-  xn = (x_ref[:, :, :].astype(jnp.float32) * scale_ref[0, :]
-        + shift_ref[0, :])
-  if prologue_relu:
-    xn = jnp.maximum(xn, 0.0)
-  xpad_ref[1:1 + h, 1:1 + w, :] = xn.astype(jnp.bfloat16)
+  def stage():
+    xpad_ref[:, :, :] = jnp.zeros_like(xpad_ref)
+    xn = (x_ref[:, :, :].astype(jnp.float32) * scale_ref[0, :]
+          + shift_ref[0, :])
+    if prologue_relu:
+      xn = jnp.maximum(xn, 0.0)
+    xpad_ref[1:1 + h, 1:1 + w, :] = xn.astype(jnp.bfloat16)
+
+  if n_cin == 1:
+    # single cin tile: the staged block is identical for every cout tile
+    # (j is constant 0), so stage once on the first grid step — scratch
+    # persists across the sequential steps.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+      stage()
+  else:
+    # cin is tiled: each j needs its own block staged (j cycles within
+    # every i, so the scratch never holds the right block on entry).
+    stage()
 
   @pl.when(j == 0)
   def _():

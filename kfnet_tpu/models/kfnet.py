@@ -82,6 +82,14 @@ def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
   (x_prior, P_prior) on the XLA path (needed by the joint training loss)
   and None on the Pallas fast path (prior never materializes in HBM).
   """
+  # The Pallas kernel's bounded-flow warp requires |flow| <= radius (its
+  # gather window); the model's tanh head guarantees it, but clamp here
+  # so BOTH paths see identical flow for any out-of-contract caller —
+  # otherwise the kernel would silently clip while the XLA composition
+  # warps the raw value, and the two paths (and the custom VJP, which
+  # rematerializes the XLA form) would diverge.
+  r = float(config.oflownet.search_radius)
+  flow = jnp.clip(flow, -r, r)
   if config.use_pallas:
     from kfnet_tpu.kernels import fused_filter
     x_post, P_post, consistent = fused_filter.fused_warp_kalman(

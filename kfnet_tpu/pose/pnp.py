@@ -148,12 +148,16 @@ def refine_pnp_lm(uv: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray,
   """
   fx, fy = K[0, 0], K[1, 1]
 
-  def residuals_jac(R, t):
+  def residuals(R, t):
     pc = X @ R.T + t  # (n, 3)
     z = jnp.maximum(pc[..., 2], 1e-6)
     u = fx * pc[..., 0] / z + K[0, 2]
     v = fy * pc[..., 1] / z + K[1, 2]
     r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], -1)  # (n, 2)
+    return r, pc, z
+
+  def residuals_jac(R, t):
+    r, pc, z = residuals(R, t)
     # d(proj)/d(pc)
     zinv = 1.0 / z
     du = jnp.stack([fx * zinv, jnp.zeros_like(z),
@@ -167,8 +171,15 @@ def refine_pnp_lm(uv: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray,
     J = jnp.concatenate([Jw, Jt], -1)  # (n, 2, 6)
     return r, J
 
+  def cost_of(r):
+    return jnp.sum(weights * jnp.sum(r * r, -1))
+
   def step(_, state):
-    R, t, lam = state
+    # cost is carried in the state (and the trial point evaluates
+    # residuals only, no Jacobian) — the per-frame pose-solve hot path
+    # previously re-derived both incumbent and trial costs from scratch
+    # each iteration (3x residual evaluations per step).
+    R, t, lam, c = state
     r, J = residuals_jac(R, t)
     wts = weights[:, None]
     JTJ = jnp.einsum("nik,ni,nij->kj", J, wts * jnp.ones_like(r), J)
@@ -177,14 +188,15 @@ def refine_pnp_lm(uv: jnp.ndarray, X: jnp.ndarray, K: jnp.ndarray,
     delta = -jnp.linalg.solve(H, JTr)
     R_new, t_new = _se3_apply(delta[:3], delta[3:], R, t)
     # accept if weighted cost decreased, else raise damping (LM).
-    def cost(Rc, tc):
-      rr, _ = residuals_jac(Rc, tc)
-      return jnp.sum(weights * jnp.sum(rr * rr, -1))
-    improved = cost(R_new, t_new) < cost(R, t)
+    c_new = cost_of(residuals(R_new, t_new)[0])
+    improved = c_new < c
     R = jnp.where(improved, R_new, R)
     t = jnp.where(improved, t_new, t)
+    c = jnp.where(improved, c_new, c)
     lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-    return R, t, lam
+    return R, t, lam, c
 
-  R, t, _ = jax.lax.fori_loop(0, iters, step, (R0, t0, jnp.float32(damping)))
+  c0 = cost_of(residuals(R0, t0)[0])
+  R, t, _, _ = jax.lax.fori_loop(
+      0, iters, step, (R0, t0, jnp.float32(damping), c0))
   return R, t

@@ -75,6 +75,11 @@ def solve_pnp_ransac(pixels: jnp.ndarray, coords: jnp.ndarray,
   # --- hypothesize: M weighted-random minimal sets over the top-k pool.
   sample_size = 3 if cfg.solver == "p3p" else cfg.sample_size
   logits = jnp.where(w > 0, 0.0, -jnp.inf)
+  # All-invalid frame (w all zero): all--inf logits would softmax to NaN
+  # and make the sampling itself NaN-driven. Fall back to uniform — the
+  # garbage hypotheses stay finite and score num_inliers=0, honoring the
+  # degenerate-input contract.
+  logits = jnp.where(jnp.any(w > 0), logits, jnp.zeros_like(logits))
   sample = lambda key: jax.random.choice(
       key, k, shape=(sample_size,), replace=False,
       p=jax.nn.softmax(logits))

@@ -240,7 +240,18 @@ int kfn_load_batch(const char** color_paths, const char** depth_paths,
         continue;
       }
       int oh = 0, ow = 0;
-      if (!read_file(depth_paths[i], bytes) ||
+      if (!read_file(depth_paths[i], bytes)) {
+        record_error(i, 1);
+        return;
+      }
+      // Pre-check the depth file's header dims BEFORE decoding: the
+      // label writer sizes its output from the decoded header, so an
+      // oversized on-disk depth PNG would overflow the caller-allocated
+      // (hs, ws) slot (the oh/ow check below would run only after the
+      // write). Mirrors the color path's pre-check.
+      PngInfo dinfo = parse_info(bytes.data(), bytes.size());
+      if (!dinfo.ok || int(dinfo.width) != width ||
+          int(dinfo.height) != height ||
           kfn_depth_to_labels(bytes.data(), bytes.size(), K,
                               T_wc + size_t(i) * 16, stride, depth_scale,
                               min_depth, max_depth, invalid_value, c, v,

@@ -140,3 +140,23 @@ def test_orthonormalize_rotation_fixes_reflections():
   Mp = R + 0.05 * rng.normal(size=R.shape).astype(np.float32)
   outp = np.asarray(geometry.orthonormalize_rotation(jnp.asarray(Mp)))
   np.testing.assert_allclose(np.linalg.det(outp), 1.0, atol=1e-4)
+
+
+def test_axis_angle_roundtrip_near_pi():
+  """180-degree rotations: the antisymmetric part vanishes, so the log
+  map must reconstruct the axis from the symmetric part (review r2 — the
+  old small-sin fallback silently returned ~0 here)."""
+  rng = np.random.default_rng(7)
+  axes = rng.normal(size=(12, 3)).astype(np.float32)
+  axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+  for theta in (np.pi, np.pi - 1e-5, np.pi - 5e-4):
+    w = (theta * axes).astype(np.float32)
+    R = geo.axis_angle_to_matrix(jnp.asarray(w))
+    w2 = np.asarray(geo.matrix_to_axis_angle(R))
+    # angle magnitude must be preserved...
+    np.testing.assert_allclose(np.linalg.norm(w2, axis=-1), theta,
+                               atol=2e-3)
+    # ...and the round-tripped matrix must match (axis sign is ambiguous
+    # at exactly pi, so compare in SO(3), not in the tangent space)
+    R2 = geo.axis_angle_to_matrix(jnp.asarray(w2))
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=2e-3)
