@@ -37,6 +37,15 @@ CAMBRIDGE_SCENES = ("KingsCollege", "OldHospital", "ShopFacade",
 # Cambridge images are 1920x1080, commonly resized so the short side is 480.
 # Focal length from the SfM reconstruction, ~1670px at full res.
 CAMBRIDGE_K_FULLRES = (1670.0, 1670.0, 960.0, 540.0)
+CAMBRIDGE_FULLRES = (1080, 1920)  # (h, w)
+
+# Working resolution (h, w). A plain 0.25 scale gives 480x270 — but 270
+# is NOT divisible by the 8x label stride, so the 1/8-res label grid
+# (floor: 33 rows) would mismatch the net's SAME-padded output grid
+# (ceil: 34 rows) and crash every Cambridge train/eval path. Resize to
+# 272 instead (matches utils/config.py's preset); the 0.7% vertical
+# stretch is absorbed by per-axis intrinsics scaling below.
+CAMBRIDGE_IMAGE_SIZE = (272, 480)
 
 
 def quat_to_matrix(q: np.ndarray) -> np.ndarray:
@@ -70,11 +79,12 @@ def parse_dataset_file(path: str):
 
 
 def load_split(root: str, scene: str, split: str = "train",
-               image_scale: float = 0.25) -> tuple[SceneSplit, dict]:
+               image_size: tuple[int, int] = CAMBRIDGE_IMAGE_SIZE
+               ) -> tuple[SceneSplit, dict]:
   """Returns (SceneSplit, poses dict rel_path → T_wc).
 
-  ``image_scale`` rescales intrinsics to the working resolution
-  (0.25 → 480x270 from 1920x1080).
+  ``image_size`` is the working (h, w); intrinsics are scaled per-axis
+  from the 1920x1080 originals (see CAMBRIDGE_IMAGE_SIZE).
   """
   scene_dir = os.path.join(root, scene)
   fname = "dataset_train.txt" if split == "train" else "dataset_test.txt"
@@ -92,18 +102,21 @@ def load_split(root: str, scene: str, split: str = "train",
         seq=rel.split("/")[0], index=i))
     poses[img] = T_wc
   fx, fy, cx, cy = CAMBRIDGE_K_FULLRES
-  s = image_scale
-  K = np.asarray([[fx * s, 0, cx * s], [0, fy * s, cy * s], [0, 0, 1]],
+  th, tw = image_size
+  sx = tw / CAMBRIDGE_FULLRES[1]
+  sy = th / CAMBRIDGE_FULLRES[0]
+  K = np.asarray([[fx * sx, 0, cx * sx], [0, fy * sy, cy * sy], [0, 0, 1]],
                  np.float32)
   return SceneSplit(scene=scene, frames=frames, intrinsics=K), poses
 
 
-def load_frame(frame: Frame, poses: dict, image_scale: float = 0.25) -> dict:
+def load_frame(frame: Frame, poses: dict,
+               image_size: tuple[int, int] = CAMBRIDGE_IMAGE_SIZE) -> dict:
   from PIL import Image
+  th, tw = image_size
   img = Image.open(frame.color_path).convert("RGB")
-  if image_scale != 1.0:
-    img = img.resize((int(img.width * image_scale),
-                      int(img.height * image_scale)), Image.BILINEAR)
+  if (img.height, img.width) != (th, tw):
+    img = img.resize((tw, th), Image.BILINEAR)
   out = {
       "image": np.asarray(img, np.float32) / 255.0,
       "pose": poses[frame.color_path],
@@ -113,10 +126,9 @@ def load_frame(frame: Frame, poses: dict, image_scale: float = 0.25) -> dict:
   if frame.depth_path:
     from kfnet_tpu.data.seven_scenes import read_depth
     d = read_depth(frame.depth_path)
-    if image_scale != 1.0:
+    if d.shape != (th, tw):
       dd = Image.fromarray(d)
-      dd = dd.resize((int(d.shape[1] * image_scale),
-                      int(d.shape[0] * image_scale)), Image.NEAREST)
+      dd = dd.resize((tw, th), Image.NEAREST)
       d = np.asarray(dd)
     out["depth"] = d
   return out

@@ -30,11 +30,6 @@ def generate(depth: jnp.ndarray, K: jnp.ndarray, T_wc: jnp.ndarray,
       max_depth=max_depth)
 
 
-generate_batch = jax.jit(
-    jax.vmap(generate, in_axes=(0, None, 0)),
-    static_argnames=())
-
-
 def scene_statistics(coords_list: Iterable[np.ndarray],
                      valid_list: Iterable[np.ndarray]):
   """Weighted mean / std of valid scene coordinates — used to set

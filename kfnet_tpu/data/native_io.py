@@ -129,9 +129,16 @@ def depth_png_to_labels(path: str, K: np.ndarray, T_wc: np.ndarray,
   lib = load_library()
   if lib is None:
     import jax.numpy as jnp
+    from PIL import Image
     from kfnet_tpu.data import labels
-    from kfnet_tpu.data.seven_scenes import read_depth
-    c, v = labels.generate(jnp.asarray(read_depth(path, depth_scale)),
+    # honor invalid_value exactly like the native kernel (raw ==
+    # invalid_value or 0 → depth 0 → fails min_depth); the generic
+    # seven_scenes.read_depth hardcodes 65535 and would silently diverge
+    # from the native path for any other sentinel.
+    raw = np.asarray(Image.open(path), np.uint16)
+    d = np.where((raw == np.uint16(invalid_value)) | (raw == 0), 0.0,
+                 raw.astype(np.float32) * depth_scale)
+    c, v = labels.generate(jnp.asarray(d),
                            jnp.asarray(K), jnp.asarray(T_wc), stride=stride,
                            min_depth=min_depth, max_depth=max_depth)
     return np.asarray(c), np.asarray(v)

@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class AugmentConfig:
   crop: tuple[int, int] | None = None  # (H, W), multiple of 8
   brightness: float = 0.15

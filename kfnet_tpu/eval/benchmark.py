@@ -123,8 +123,8 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   B = 4
   batch_seqs = jnp.broadcast_to(images[:, None], images.shape[:1] + (B,) +
                                 images.shape[1:])
-  runb = jax.jit(lambda im: sequence.run_filter_batched(params, cfg, im))
-  tb = bench_fn(runb, (batch_seqs,), reps=reps)
+  runb = jax.jit(lambda p, im: sequence.run_filter_batched(p, cfg, im))
+  tb = bench_fn(runb, (params, batch_seqs), reps=reps)
   results["filtered_fps_batch4"] = B * frames / tb
   return results
 

@@ -94,16 +94,21 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
   """SCoordNet-only ablation (no temporal filter) — the reference's
   single-frame baseline row (SURVEY.md §6)."""
   rng = rng if rng is not None else jax.random.key(0)
-  measure = jax.jit(jax.vmap(lambda im: kfnet.measure(params, config, im)))
+  # params is a jit ARGUMENT, never a closure capture — closing over the
+  # ~24M-param tree would embed ~100 MB of weights as compile-time
+  # constants and re-trace per call (fresh lambda each sequence); see
+  # train/device_fit.py for the documented remote-compile hazard.
+  measure = jax.jit(
+      lambda p, im: jax.vmap(lambda i: kfnet.measure(p, config, i))(im))
   solve = make_pose_solver(K, stride=stride, config=ransac_config)
   from kfnet_tpu.utils.timing import sync
 
   keys = jax.random.split(rng, images.shape[0])
-  zs, Vs = measure(images)
+  zs, Vs = measure(params, images)
   out = solve(zs, Vs, keys)
   sync(out["T_wc"])
   t0 = time.perf_counter()
-  zs, Vs = measure(images)
+  zs, Vs = measure(params, images)
   out = solve(zs, Vs, keys)
   sync(out["T_wc"])
   fps = images.shape[0] / (time.perf_counter() - t0)

@@ -100,7 +100,12 @@ def main(argv=None):
   reports = []
   for i, seq_frames in enumerate(adapter.iter_sequences(split)):
     frames = [adapter.load_frame_with_split(split, fr) for fr in seq_frames]
-    images = jnp.asarray(np.stack([f["image"] for f in frames]))
+    # streaming: the whole point is O(chunk) HBM — keep the stack on the
+    # HOST (numpy) so the chunked runner transfers one chunk at a time;
+    # committing it with jnp.asarray would materialize the full (T,H,W,3)
+    # sequence in HBM up front.
+    host_stack = np.stack([f["image"] for f in frames])
+    images = host_stack if args.streaming else jnp.asarray(host_stack)
     gt = np.stack([f["pose"] for f in frames])
     import contextlib
     import functools

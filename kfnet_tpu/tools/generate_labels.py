@@ -35,27 +35,40 @@ def main(argv=None):
   args = p.parse_args(argv)
   preset = config_lib.PRESETS[args.dataset]
 
-  split = s7.load_split(args.input_folder, args.scene, args.split,
-                        intrinsics=preset.intrinsics)
+  # Dispatch through the dataset registry like the train/eval CLIs —
+  # Cambridge has its own disk layout (dataset_*.txt + poses in the
+  # split file, depth resized to the working resolution), which the
+  # 7-Scenes loader cannot read.
+  from kfnet_tpu.data import registry
+  adapter = registry.get(args.dataset)
+  if adapter.name == "cambridge":
+    split = adapter.load_split(args.input_folder, args.scene, args.split)
+  else:
+    split = adapter.load_split(args.input_folder, args.scene, args.split,
+                               intrinsics=preset.intrinsics)
   K = split.intrinsics
   os.makedirs(args.output_folder, exist_ok=True)
-  use_native = native_io.available()
+  # The native fused decode+label path reads the depth FILE at its
+  # on-disk resolution — correct for 7/12-Scenes; Cambridge depth must
+  # go through the adapter (resize to the working res the intrinsics
+  # describe), so it always takes the generic path.
+  use_native = native_io.available() and adapter.name != "cambridge"
   all_c, all_v = [], []
   n = 0
   for fr in split.frames:
     if fr.depth_path is None:
       continue
-    pose = s7.read_pose(fr.pose_path)
     if use_native:
+      pose = s7.read_pose(fr.pose_path)
       c, v = native_io.depth_png_to_labels(
           fr.depth_path, K, pose, stride=args.stride,
           depth_scale=preset.depth_scale, min_depth=preset.min_depth,
           max_depth=preset.max_depth)
     else:
       import jax.numpy as jnp
-      d = s7.read_depth(fr.depth_path, preset.depth_scale)
-      c, v = labels.generate(jnp.asarray(d), jnp.asarray(K),
-                             jnp.asarray(pose), stride=args.stride,
+      ex = adapter.load_frame_with_split(split, fr)
+      c, v = labels.generate(jnp.asarray(ex["depth"]), jnp.asarray(K),
+                             jnp.asarray(ex["pose"]), stride=args.stride,
                              min_depth=preset.min_depth,
                              max_depth=preset.max_depth)
       c, v = np.asarray(c), np.asarray(v)

@@ -58,8 +58,15 @@ def make_pair_loaders(exp: config_lib.ExperimentConfig, scenes: list[str],
 
     for seq_frames in adapter.iter_sequences(split):
       for i in range(len(seq_frames) - frame_gap):
-        load_fns.append(functools.partial(
-            load_pair, seq_frames[i], seq_frames[i + frame_gap]))
+        pair = (seq_frames[i], seq_frames[i + frame_gap])
+        # both frames need depth for the warped-GT NLL labels; frames
+        # without a depth file (Cambridge ships many) are eval-only
+        if not (pair[0].depth_path and pair[1].depth_path):
+          continue
+        load_fns.append(functools.partial(load_pair, *pair))
+  if not load_fns:
+    raise ValueError("no frame pairs with depth across the requested "
+                     "scenes — cannot build OFlowNet training labels")
   return load_fns
 
 

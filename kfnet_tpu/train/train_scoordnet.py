@@ -42,12 +42,20 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
   K = split.intrinsics
   stride = exp.dataset.stride
 
+  # Labels come from depth + pose; frames with no depth file (possible on
+  # any dataset — Cambridge ships many, 7-Scenes can have holes) are
+  # eval-only and must not reach the label generator.
+  train_frames = [fr for fr in split.frames if fr.depth_path]
+  if not train_frames:
+    raise ValueError(f"scene {exp.scene}: no frames with depth — cannot "
+                     "generate coordinate labels for training")
+
   def load(frame):
     ex = adapter.load_frame_with_split(split, frame)
     return {"image": ex["image"], "depth": ex["depth"], "pose": ex["pose"]}
 
   # Pass 1 (subsampled): scene coordinate statistics for normalization.
-  sample = split.frames[::max(1, len(split.frames) // 200)]
+  sample = train_frames[::max(1, len(train_frames) // 200)]
   cs, vs = [], []
   img_hw = exp.dataset.image_size
   for fr in sample[:200]:
@@ -68,7 +76,7 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
     return {"image": ex["image"], "coords": np.asarray(c),
             "valid": np.asarray(v)}
 
-  load_fns = [functools.partial(load_with_labels, fr) for fr in split.frames]
+  load_fns = [functools.partial(load_with_labels, fr) for fr in train_frames]
 
   # native batch-loader metadata, built lazily (pose reads are thousands of
   # small file reads — only pay them if the native path is actually taken).
@@ -78,14 +86,14 @@ def make_scene_loader(exp: config_lib.ExperimentConfig):
   native_meta = None
   native_ok = adapter.name != "cambridge" and all(
       fr.color_path.endswith(".png") and fr.depth_path.endswith(".png")
-      for fr in split.frames)
+      for fr in train_frames)
   if native_ok:
     def native_meta():
       return {
-          "color_paths": [fr.color_path for fr in split.frames],
-          "depth_paths": [fr.depth_path for fr in split.frames],
+          "color_paths": [fr.color_path for fr in train_frames],
+          "depth_paths": [fr.depth_path for fr in train_frames],
           "poses": np.stack([s7.read_pose(fr.pose_path)
-                             for fr in split.frames]),
+                             for fr in train_frames]),
           "K": np.asarray(K, np.float32),
           "image_size": img_hw,  # actual on-disk frame dims
           "stride": stride,

@@ -62,32 +62,10 @@ def create_state(params, optimizer) -> TrainState:
                     opt_state=optimizer.init(params))
 
 
-def make_train_step(loss_fn: Callable, optimizer) -> Callable:
-  """Returns jitted (state, batch) -> (state, metrics). State is donated;
-  under a mesh, GSPMD turns the batch-mean gradient into a psum over ICI."""
-
-  @partial(jax.jit, donate_argnums=(0,))
-  def train_step(state: TrainState, batch):
-    (loss, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, batch)
-    updates, opt_state = optimizer.update(
-        grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
-    metrics = dict(metrics)
-    metrics["grad_norm"] = optax.global_norm(grads)
-    return TrainState(step=state.step + 1, params=params,
-                      opt_state=opt_state), metrics
-
-  return train_step
-
-
-def make_multi_train_step(loss_fn: Callable, optimizer,
-                          unroll: int = 1) -> Callable:
-  """K training steps per dispatch: (state, batches) -> (state, metrics of
-  the last step), where ``batches`` is a pytree stacked along a leading
-  (K,) axis. One jit call per K steps — essential on hosts with expensive
-  dispatch (this sandbox's tunnel costs ~5-10 ms per call), and a standard
-  step-batching pattern on real pods too."""
+def _one_step(loss_fn: Callable, optimizer):
+  """THE gradient-step body, shared by the single-step and K-step
+  dispatchers so a change to the update semantics (new metric, EMA, ...)
+  cannot silently apply to one path and not the other."""
 
   def one_step(state: TrainState, batch):
     (loss, metrics), grads = jax.value_and_grad(
@@ -99,6 +77,24 @@ def make_multi_train_step(loss_fn: Callable, optimizer,
     metrics["grad_norm"] = optax.global_norm(grads)
     return TrainState(step=state.step + 1, params=params,
                       opt_state=opt_state), metrics
+
+  return one_step
+
+
+def make_train_step(loss_fn: Callable, optimizer) -> Callable:
+  """Returns jitted (state, batch) -> (state, metrics). State is donated;
+  under a mesh, GSPMD turns the batch-mean gradient into a psum over ICI."""
+  return partial(jax.jit, donate_argnums=(0,))(_one_step(loss_fn, optimizer))
+
+
+def make_multi_train_step(loss_fn: Callable, optimizer,
+                          unroll: int = 1) -> Callable:
+  """K training steps per dispatch: (state, batches) -> (state, metrics of
+  the last step), where ``batches`` is a pytree stacked along a leading
+  (K,) axis. One jit call per K steps — essential on hosts with expensive
+  dispatch (this sandbox's tunnel costs ~5-10 ms per call), and a standard
+  step-batching pattern on real pods too."""
+  one_step = _one_step(loss_fn, optimizer)
 
   @partial(jax.jit, donate_argnums=(0,))
   def multi_step(state: TrainState, batches):
@@ -187,16 +183,25 @@ def fit(loss_fn: Callable,
   else:
     train_step = make_train_step(loss_fn, optimizer)
   t0 = time.time()
+  # The step counter is tracked HOST-SIDE: state.step increments
+  # deterministically (+1 per dispatch, +rows for K-step groups), and an
+  # int(state.step) every iteration would block on the in-flight dispatch
+  # — serializing host batch prep against device compute on every step
+  # (5-10 ms/dispatch on this sandbox's tunnel). We only touch device
+  # values at log/checkpoint cadence, where a sync is inherent anyway.
   start_step = int(state.step)
+  step = start_step
   for batch in batches:
-    remaining = loop_cfg.max_steps - int(state.step)
+    remaining = loop_cfg.max_steps - step
     if remaining <= 0:
       break
+    k_batch = 1
     if K > 1:
       k_batch = jax.tree_util.tree_leaves(batch)[0].shape[0]
       if k_batch > remaining:
         # trim so max_steps is exact (one extra compile for the tail)
         batch = jax.tree_util.tree_map(lambda x: x[:remaining], batch)
+        k_batch = remaining
     if mesh is not None:
       if K > 1:
         # stacked (K, B, ...) batches shard on the BATCH axis (axis 1)
@@ -207,7 +212,7 @@ def fit(loss_fn: Callable,
       else:
         batch = mesh_lib.shard_batch(mesh, batch)
     state, metrics = train_step(state, batch)
-    step = int(state.step)
+    step += k_batch
     if step % loop_cfg.log_every < K:  # fires once per window for K>1
       metrics = {k: float(v) for k, v in metrics.items()}
       dt = time.time() - t0
@@ -216,6 +221,6 @@ def fit(loss_fn: Callable,
     if ckpt and step % loop_cfg.checkpoint_every < K:
       ckpt.save(step, state)
   if ckpt:
-    ckpt.save(int(state.step), state, force=True)
+    ckpt.save(step, state, force=True)
     ckpt.wait()
   return state

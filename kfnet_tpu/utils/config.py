@@ -32,14 +32,17 @@ SEVEN_SCENES = DatasetPreset(
 TWELVE_SCENES = DatasetPreset(
     name="12scenes", intrinsics=(572.0, 572.0, 320.0, 240.0),
     image_size=(480, 640))
+# intrinsics = per-axis scale of the 1670px/1920x1080 SfM calibration to
+# the (272, 480) working size (fy/cy absorb the 270->272 stretch; the
+# runtime K actually comes from cambridge.load_split, kept in sync here)
 CAMBRIDGE = DatasetPreset(
-    name="cambridge", intrinsics=(417.5, 417.5, 240.0, 135.0),
+    name="cambridge", intrinsics=(417.5, 420.63, 240.0, 136.0),
     image_size=(272, 480), max_depth=100.0)
 
 PRESETS = {p.name: p for p in (SEVEN_SCENES, TWELVE_SCENES, CAMBRIDGE)}
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
   dataset: DatasetPreset = SEVEN_SCENES
   scene: str = "chess"
