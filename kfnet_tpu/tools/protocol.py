@@ -250,6 +250,11 @@ def main(argv=None):
   p.add_argument("--of_steps", type=int, default=1000)
   p.add_argument("--joint_steps", type=int, default=200)
   p.add_argument("--learning_rate", type=float, default=2e-3)
+  p.add_argument("--seed_offset", type=int, default=0,
+                 help="offset every scene's seed (fresh geometry, "
+                      "trajectories, and inits) — run the protocol a "
+                      "second time to separate real effects from "
+                      "single-seed noise")
   p.add_argument("--fast", action="store_true",
                  help="miniature run (CI-slow scale)")
   p.add_argument("--work_dir", default="",
@@ -272,6 +277,10 @@ def main(argv=None):
               sc_steps=max(args.sc_steps, 3000),
               of_steps=max(args.of_steps, 2000),
               joint_steps=400 if args.joint_steps == 200 else args.joint_steps)
+  if args.seed_offset:
+    kw["scenes"] = tuple(
+        dataclasses.replace(s, seed=s.seed + args.seed_offset)
+        for s in DEFAULT_SCENES)
   reports = run_protocol(**kw)
   if args.report:
     with open(args.report, "w") as f:
