@@ -106,7 +106,7 @@ def _cached_stage(work_dir, name, template, fit_fn):
 def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  sc_steps=1200, of_steps=1000, joint_steps=200,
                  lr=2e-3, scenes=DEFAULT_SCENES, log=print,
-                 full_size=False, work_dir=None):
+                 full_size=False, work_dir=None, stress=0.0):
   """Returns the per-scene report list (see module docstring).
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
@@ -203,11 +203,26 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     d = data[s.name]
     K = d["train"]["K"]
     gt = np.asarray(d["test"]["poses"])
+    test_imgs = d["test"]["images"]
+    if stress > 0:
+      # Stressed eval: per-frame pixel noise + brightness flicker on the
+      # TEST stream only (train stays clean). On clean synthetic frames
+      # the measurement net is near-perfect and the filtered-vs-
+      # measurement delta is seed noise (two-seed full-size finding);
+      # independent per-frame corruption is the regime the temporal
+      # filter exists for (paper §1), so this is the discriminative
+      # variant of the protocol.
+      rng_s = np.random.default_rng(s.seed + 5)
+      imgs = np.asarray(test_imgs, np.float32)
+      flicker = rng_s.uniform(-3 * stress, 3 * stress,
+                              (imgs.shape[0], 1, 1, 1)).astype(np.float32)
+      noise = rng_s.normal(0, stress, imgs.shape).astype(np.float32)
+      test_imgs = jnp.asarray(np.clip(imgs + flicker + noise, 0.0, 1.0))
     res_m = eval_sequence.evaluate_measurement_only(
-        params, cfg, d["test"]["images"], K, gt_poses=gt,
+        params, cfg, test_imgs, K, gt_poses=gt,
         scene=s.name, ransac_config=rcfg)
     res_f = eval_sequence.evaluate_sequence(
-        params, cfg, d["test"]["images"], K, gt_poses=gt,
+        params, cfg, test_imgs, K, gt_poses=gt,
         scene=s.name, ransac_config=rcfg)
     acc_f = eval_sequence.coord_accuracy_report(
         res_f.coords, np.asarray(d["test_coords"]),
@@ -232,6 +247,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
         "median_coord_err_m": acc_f["median_coord_err_m"],
         "stage2_final_loss": of_final_loss,
         "frames": int(test_frames),
+        "stress": float(stress),
     }
     reports.append(row)
     if log:
@@ -250,6 +266,11 @@ def main(argv=None):
   p.add_argument("--of_steps", type=int, default=1000)
   p.add_argument("--joint_steps", type=int, default=200)
   p.add_argument("--learning_rate", type=float, default=2e-3)
+  p.add_argument("--stress", type=float, default=0.0,
+                 help="per-frame measurement stress on the TEST stream "
+                      "(pixel-noise sigma; also drives +-3x brightness "
+                      "flicker). ~0.08 = the discriminative protocol "
+                      "variant where temporal filtering must win")
   p.add_argument("--seed_offset", type=int, default=0,
                  help="offset every scene's seed (fresh geometry, "
                       "trajectories, and inits) — run the protocol a "
@@ -268,7 +289,8 @@ def main(argv=None):
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
             test_frames=args.test_frames, sc_steps=args.sc_steps,
             of_steps=args.of_steps, joint_steps=args.joint_steps,
-            lr=args.learning_rate, work_dir=args.work_dir or None)
+            lr=args.learning_rate, work_dir=args.work_dir or None,
+            stress=args.stress)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)

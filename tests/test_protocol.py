@@ -24,9 +24,10 @@ def test_protocol_miniature_end_to_end():
   reports = protocol.run_protocol(
       H=48, W=64, train_frames=20, test_frames=12,
       sc_steps=250, of_steps=200, joint_steps=0,
-      scenes=scenes, log=None)
+      scenes=scenes, log=None, stress=0.05)
   by_name = {r["scene"]: r for r in reports}
   assert set(by_name) == {s.name for s in scenes}
+  assert all(r["stress"] == 0.05 for r in reports)
 
   # every row is complete and finite
   for r in reports:
