@@ -110,12 +110,19 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   # measurement on this backend.
   stream_once(host_frames)
   stream_once(device_frames)
-  t0 = time.perf_counter()
-  n = stream_once(device_frames)
-  results["streaming_fps_device"] = n / (time.perf_counter() - t0)
-  t0 = time.perf_counter()
-  n = stream_once(host_frames)
-  results["streaming_fps"] = n / (time.perf_counter() - t0)
+
+  def stream_fps(frame_list, k=3):
+    # median-of-k: single-shot stream timings showed 345-391 fps
+    # run-to-run spread (dispatch-cadence noise on this host's tunnel)
+    times = []
+    for _ in range(k):
+      t0 = time.perf_counter()
+      n = stream_once(frame_list)
+      times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
+
+  results["streaming_fps_device"] = stream_fps(device_frames)
+  results["streaming_fps"] = stream_fps(host_frames, k=1)  # transfer-bound
 
   # Serving mode: B independent sequences filtered in lockstep (time-major
   # batched scan) — amortizes per-step overhead and fills the MXU at small
