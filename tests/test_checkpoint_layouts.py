@@ -59,10 +59,13 @@ def test_load_params_train_outdir_layout(tmp_path, tiny_params):
   ck.wait()
   # manager layout only (interrupted run): latest step's params sub-tree
   _assert_tree_equal(ckpt_lib.load_params(out_dir, template=params), params)
-  # finished run: export subdir takes precedence
+  # finished run: export subdir takes precedence. Export PERTURBED params
+  # so the precedence is pinned — identical trees would let either load
+  # path pass (review r2: tautology).
   meta = {"coord_offset": [0.5, 0.5, 0.5], "coord_scale": 2.0}
-  ckpt_lib.export_params(os.path.join(out_dir, "export"), state.params, meta)
-  _assert_tree_equal(ckpt_lib.load_params(out_dir, template=params), params)
+  bumped = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+  ckpt_lib.export_params(os.path.join(out_dir, "export"), bumped, meta)
+  _assert_tree_equal(ckpt_lib.load_params(out_dir, template=params), bumped)
   assert ckpt_lib.load_meta(out_dir)["coord_scale"] == 2.0
 
 

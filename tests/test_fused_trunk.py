@@ -46,11 +46,14 @@ def test_fused_trunk_matches_serial():
   with mock.patch.object(c3, "conv3x3_gn_chain", side_effect=interp):
     c_p, v_p = scoordnet.apply(params, cfg_p, img)
 
-  # bf16 trunks with different accumulation orders: relative tolerance.
+  # bf16 trunks with different accumulation orders. Tolerances are ~2-3x
+  # the MEASURED deviation on these inputs (coords max |diff| 0.0077,
+  # variance max rel 0.57%) — the old 0.05/0.1 bands were 10-25x looser
+  # and would have passed a kernel bug inflating error 10x (review r2).
   np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
-                             rtol=5e-2, atol=5e-2)
+                             rtol=0.0, atol=2e-2)
   np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_ref),
-                             rtol=1e-1, atol=1e-6)
+                             rtol=2e-2, atol=1e-6)
 
 
 def test_fused_trunk_batched_falls_back():
@@ -58,7 +61,12 @@ def test_fused_trunk_batched_falls_back():
   params = scoordnet.init(jax.random.key(0), cfg_p, (16, 16, 3))
   rng = np.random.default_rng(1)
   imgs = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
-  # batched input (ndim > 3) must silently use the serial XLA path
+  # batched input (ndim > 3) must silently use the serial XLA path —
+  # pinned by EXACT equality with conv_impl="xla" (review r2: shape +
+  # finiteness alone would pass a wrong-but-finite vectorization)
   c, v = scoordnet.apply(params, cfg_p, imgs)
   assert c.shape == (2, 16, 16, 3)  # this tiny config has total stride 1
-  assert bool(jnp.isfinite(c).all())
+  cfg_x = small_cfg("xla")
+  c_ref, v_ref = scoordnet.apply(params, cfg_x, imgs)
+  np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+  np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))

@@ -102,5 +102,6 @@ def test_kfnet_step_consistency_with_components():
   assert bool((P1 > 0).all())
   # where consistent, the posterior variance must not exceed measurement's.
   ok = np.asarray(aux["consistent"])
+  assert ok.any()  # an empty mask would make the check below vacuous
   np.testing.assert_array_less(
       np.asarray(P1)[ok], np.asarray(aux["V"])[ok] + 1e-6)

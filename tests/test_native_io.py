@@ -8,6 +8,9 @@ from kfnet_tpu.data import native_io
 
 pytestmark = pytest.mark.skipif(
     not native_io.available(), reason="native library not built")
+# NB: a broken native BUILD does not silently skip CI — see
+# tests/test_native_build.py, which fails (not skips) whenever a C++
+# toolchain is present but the library won't build.
 
 
 def write_pngs(tmp_path):

@@ -67,6 +67,21 @@ def test_lm_refinement_improves_noisy_dlt():
   assert float(geo.translation_error(T_est, T_wc)) < 0.03
   assert float(geo.rotation_error_deg(T_est, T_wc)) < 0.5
 
+  # DLT alone already passes the bars above (verified), so a no-op LM
+  # would slip through. Start from a DELIBERATELY perturbed pose: only a
+  # working optimizer can recover the accuracy bars from there.
+  dR = np.asarray(geo.axis_angle_to_matrix(
+      jnp.asarray([0.05, -0.04, 0.03], jnp.float32)))
+  R_bad = jnp.asarray(dR) @ R0
+  t_bad = t0 + jnp.asarray([0.05, -0.05, 0.08])
+  e_bad = float(jnp.mean(pnp.reprojection_errors(uv, X, K, R_bad, t_bad)))
+  R2, t2 = pnp.refine_pnp_lm(uv, X, K, R_bad, t_bad, w, iters=15)
+  e2 = float(jnp.mean(pnp.reprojection_errors(uv, X, K, R2, t2)))
+  assert e2 < 0.5 * e_bad  # strict improvement, not just non-regression
+  T_est2 = geo.invert_pose(geo.make_pose(R2, t2))
+  assert float(geo.translation_error(T_est2, T_wc)) < 0.03
+  assert float(geo.rotation_error_deg(T_est2, T_wc)) < 0.5
+
 
 def test_ransac_with_outliers():
   rng = np.random.default_rng(3)

@@ -21,9 +21,11 @@ def test_protocol_miniature_end_to_end():
       protocol.SceneSpec("outdoor", seed=40, scale=20.0, dataset="outdoor",
                          held_out=True),
   )
+  # joint_steps > 0 so stage 3 (joint BPTT wiring) actually executes —
+  # with 0 the "3-stage" test silently covered only two stages (review r2)
   reports = protocol.run_protocol(
       H=48, W=64, train_frames=20, test_frames=12,
-      sc_steps=250, of_steps=200, joint_steps=0,
+      sc_steps=250, of_steps=200, joint_steps=20,
       scenes=scenes, log=None, stress=0.05)
   by_name = {r["scene"]: r for r in reports}
   assert set(by_name) == {s.name for s in scenes}

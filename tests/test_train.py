@@ -135,10 +135,13 @@ def test_checkpoint_resume(tmp_path):
                                  checkpoint_every=3, checkpoint_dir=ckdir)
   s1 = trainer.fit(loss_fn, params, repeat_batches(batch, 6),
                    loop_cfg=loop, mesh=None)
-  # resume: same dir, higher max_steps → continues from step 6
+  # resume: same dir, higher max_steps → continues from step 6. Feed only
+  # the 3 MISSING batches: a broken resume (silent restart from step 0)
+  # would then end at step 3 and fail the step assertion — with 9 batches
+  # a from-scratch run would also reach step 9 and slip through.
   loop2 = trainer.TrainLoopConfig(max_steps=9, log_every=1000,
                                   checkpoint_every=3, checkpoint_dir=ckdir)
-  s2 = trainer.fit(loss_fn, params, repeat_batches(batch, 9),
+  s2 = trainer.fit(loss_fn, params, repeat_batches(batch, 3),
                    loop_cfg=loop2, mesh=None)
   assert int(s2.step) == 9
   # the resumed run must not have restarted from scratch:

@@ -54,7 +54,9 @@ def test_winograd_bf16_close_to_direct_bf16():
   y_win = np.asarray(conv3x3_winograd(x, k, compute_dtype=jnp.bfloat16),
                      dtype=np.float32)
   scale = np.abs(y_ref).max()
-  np.testing.assert_allclose(y_win, y_ref, atol=0.05 * scale)
+  # ~2x the measured deviation (0.031 at scale 4.28 ≈ 0.7% of scale);
+  # the old 5%-of-max band would pass a 6x error inflation (review r2)
+  np.testing.assert_allclose(y_win, y_ref, atol=0.015 * scale)
 
 
 def test_winograd_gradients_match_direct():
