@@ -321,8 +321,22 @@ def translation_error(T_est: jnp.ndarray, T_gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_error_deg(T_est: jnp.ndarray, T_gt: jnp.ndarray) -> jnp.ndarray:
-  """Geodesic rotation error in degrees (broadcasts over batch)."""
-  R = T_est[..., :3, :3] @ jnp.swapaxes(T_gt[..., :3, :3], -1, -2)
+  """Geodesic rotation error in degrees (broadcasts over batch).
+
+  Small angles use the Frobenius identity ‖R_est − R_gt‖_F = 2√2·sin(θ/2)
+  — exact and well-conditioned near identity, where the arccos-of-trace
+  form quantizes at ~0.03° in f32 (acos′(1) → ∞ wipes out sub-ULP trace
+  differences; the many literal-0.00° medians in early protocol reports
+  were this artifact). Large angles (cos θ ≤ 0) switch to the trace form,
+  which is well-conditioned exactly where arcsin is not.
+  """
+  R_e = T_est[..., :3, :3]
+  R_g = T_gt[..., :3, :3]
+  diff = R_e - R_g
+  fro = jnp.sqrt(jnp.sum(diff * diff, axis=(-1, -2)))
+  sin_half = jnp.clip(fro / (2.0 * jnp.sqrt(2.0)), 0.0, 1.0)
+  theta_small = 2.0 * jnp.arcsin(sin_half)
+  R = R_e @ jnp.swapaxes(R_g, -1, -2)
   trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
   cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-  return jnp.degrees(jnp.arccos(cos_t))
+  return jnp.degrees(jnp.where(cos_t > 0.0, theta_small, jnp.arccos(cos_t)))

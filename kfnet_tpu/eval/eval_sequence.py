@@ -49,11 +49,14 @@ def evaluate_sequence(params, config: kfnet.KFNetConfig,
                       scene: str = "",
                       ransac_config: ransac.RansacConfig = ransac.RansacConfig(),
                       stride: int = 8,
-                      rng: jax.Array | None = None) -> EvalResult:
+                      rng: jax.Array | None = None,
+                      timing_reps: int = 3) -> EvalResult:
   """Filter a (T, H, W, 3) sequence and solve a pose per frame.
 
   The filter scan and the vmapped PnP solve are two jit regions; fused
-  maps stay on device between them.
+  maps stay on device between them. fps is median-of-``timing_reps``
+  after one warmup (same protocol as bench.py — single-rep numbers on
+  this sandbox's tunnel jitter by ~5%).
   """
   rng = rng if rng is not None else jax.random.key(0)
 
@@ -67,12 +70,14 @@ def evaluate_sequence(params, config: kfnet.KFNetConfig,
   xs, Ps = run(params, images)
   out = solve(xs, Ps, keys)
   sync(out["T_wc"])
-  t0 = time.perf_counter()
-  xs, Ps = run(params, images)
-  out = solve(xs, Ps, keys)
-  sync(out["T_wc"])
-  dt = time.perf_counter() - t0
-  fps = images.shape[0] / dt
+  dts = []
+  for _ in range(max(1, timing_reps)):
+    t0 = time.perf_counter()
+    xs, Ps = run(params, images)
+    out = solve(xs, Ps, keys)
+    sync(out["T_wc"])
+    dts.append(time.perf_counter() - t0)
+  fps = images.shape[0] / float(np.median(dts))
 
   poses = np.asarray(out["T_wc"])
   result = EvalResult(
@@ -90,9 +95,11 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
                               scene: str = "",
                               ransac_config=ransac.RansacConfig(),
                               stride: int = 8,
-                              rng: jax.Array | None = None) -> EvalResult:
+                              rng: jax.Array | None = None,
+                              timing_reps: int = 3) -> EvalResult:
   """SCoordNet-only ablation (no temporal filter) — the reference's
-  single-frame baseline row (SURVEY.md §6)."""
+  single-frame baseline row (SURVEY.md §6). fps is median-of-
+  ``timing_reps`` after one warmup, matching ``evaluate_sequence``."""
   rng = rng if rng is not None else jax.random.key(0)
   # params is a jit ARGUMENT, never a closure capture — closing over the
   # ~24M-param tree would embed ~100 MB of weights as compile-time
@@ -107,11 +114,14 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
   zs, Vs = measure(params, images)
   out = solve(zs, Vs, keys)
   sync(out["T_wc"])
-  t0 = time.perf_counter()
-  zs, Vs = measure(params, images)
-  out = solve(zs, Vs, keys)
-  sync(out["T_wc"])
-  fps = images.shape[0] / (time.perf_counter() - t0)
+  dts = []
+  for _ in range(max(1, timing_reps)):
+    t0 = time.perf_counter()
+    zs, Vs = measure(params, images)
+    out = solve(zs, Vs, keys)
+    sync(out["T_wc"])
+    dts.append(time.perf_counter() - t0)
+  fps = images.shape[0] / float(np.median(dts))
   poses = np.asarray(out["T_wc"])
   result = EvalResult(poses=poses, coords=np.asarray(zs),
                       covariance=np.asarray(Vs), frames_per_sec=fps)

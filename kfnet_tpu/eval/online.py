@@ -94,7 +94,14 @@ class OnlineRelocalizer:
 
   @property
   def state(self):
-    """Current (x, P, features) carry (device arrays)."""
+    """Current (x, P, features) carry (device arrays).
+
+    This is a LIVE, DONATED view: the next ``process()`` call donates
+    these buffers to the jitted step, after which any array obtained here
+    is deleted (uses raise a deleted-buffer error). Snapshot with
+    ``jax.tree_util.tree_map(jnp.copy, reloc.state)`` if you need the
+    state past the next frame.
+    """
     return self._carry
 
 
@@ -182,7 +189,10 @@ class FleetRelocalizer:
 
     Args:
       reset: optional (B,) bool mask — True slots start a new session at
-        this frame (their posterior = this frame's measurement).
+        this frame (their posterior = this frame's measurement). On the
+        FIRST tick every slot starts fresh by construction, so the mask is
+        ignored there (reset=False cannot mean "continue" when no prior
+        state exists).
 
     info: per-slot arrays — consistent_frac (B,), and num_inliers /
     inlier_ratio (B,) when pose solving is enabled.
@@ -214,5 +224,9 @@ class FleetRelocalizer:
 
   @property
   def state(self):
-    """Current (x, P, features) carry, batched over slots."""
+    """Current (x, P, features) carry, batched over slots.
+
+    LIVE, DONATED view — invalidated by the next ``process()`` call
+    (see ``OnlineRelocalizer.state``); copy before storing.
+    """
     return self._carry

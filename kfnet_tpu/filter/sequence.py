@@ -12,7 +12,7 @@ O(1) python loop (SURVEY.md §5 "long-context").
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -214,9 +214,17 @@ def run_filter_fleet(params, config: kfnet.KFNetConfig,
   seq_sh = NamedSharding(mesh, P(None, axis_name))
   images = jax.device_put(images, seq_sh)
   params = jax.device_put(params, NamedSharding(mesh, P()))
-  fn = jax.jit(run_filter_batched, static_argnames=("config",),
-               out_shardings=(seq_sh, seq_sh))
-  return fn(params, config, images)
+  return _fleet_jit(seq_sh)(params, config, images)
+
+
+@lru_cache(maxsize=None)
+def _fleet_jit(seq_sh):
+  """Per-sharding cached jit of the fleet scan: a fresh ``jax.jit`` per
+  call would recompile every invocation (round-2 advisor finding) — wrong
+  for a serving API. NamedSharding is hashable, so one wrapper (and one
+  compile) per (mesh, spec) serves all subsequent calls."""
+  return jax.jit(run_filter_batched, static_argnames=("config",),
+                 out_shardings=(seq_sh, seq_sh))
 
 
 def run_filter_python_loop(params, config: kfnet.KFNetConfig,

@@ -5,14 +5,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from kfnet_tpu.core import geometry as geo
-
 
 def pose_errors(T_est, T_gt):
-  """Per-frame (translation m, rotation deg) errors. Accepts (T, 4, 4)."""
-  import jax.numpy as jnp
-  t = np.asarray(geo.translation_error(jnp.asarray(T_est), jnp.asarray(T_gt)))
-  r = np.asarray(geo.rotation_error_deg(jnp.asarray(T_est), jnp.asarray(T_gt)))
+  """Per-frame (translation m, rotation deg) errors. Accepts (T, 4, 4).
+
+  Computed host-side in float64 with the arcsin/Frobenius geodesic form
+  (see ``geometry.rotation_error_deg``): all reported pose metrics must
+  resolve well below 0.001°, since filter-vs-measurement comparisons live
+  in the 0–0.5° regime where the f32 arccos form quantizes at ~0.03°.
+  """
+  T_est = np.asarray(T_est, np.float64)
+  T_gt = np.asarray(T_gt, np.float64)
+  t = np.linalg.norm(T_est[..., :3, 3] - T_gt[..., :3, 3], axis=-1)
+  diff = T_est[..., :3, :3] - T_gt[..., :3, :3]
+  fro = np.sqrt(np.sum(diff * diff, axis=(-1, -2)))
+  sin_half = np.clip(fro / (2.0 * np.sqrt(2.0)), 0.0, 1.0)
+  theta_small = 2.0 * np.arcsin(sin_half)
+  R = T_est[..., :3, :3] @ np.swapaxes(T_gt[..., :3, :3], -1, -2)
+  trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+  cos_t = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+  r = np.degrees(np.where(cos_t > 0.0, theta_small, np.arccos(cos_t)))
   return t, r
 
 

@@ -211,14 +211,18 @@ def fit(loss_fn: Callable,
             lambda x: jax.device_put(x, sh), batch)
       else:
         batch = mesh_lib.shard_batch(mesh, batch)
+    prev_step = step
     state, metrics = train_step(state, batch)
     step += k_batch
-    if step % loop_cfg.log_every < K:  # fires once per window for K>1
+    # window-crossing tests (not `step % every < K`, which can double-fire
+    # around a boundary when a short tail group makes k_batch < K).
+    if step // loop_cfg.log_every != prev_step // loop_cfg.log_every:
       metrics = {k: float(v) for k, v in metrics.items()}
       dt = time.time() - t0
       sps = (step - start_step) / max(dt, 1e-9)
       logger.log_metrics(step, {**metrics, "steps_per_sec": sps})
-    if ckpt and step % loop_cfg.checkpoint_every < K:
+    if ckpt and (step // loop_cfg.checkpoint_every
+                 != prev_step // loop_cfg.checkpoint_every):
       ckpt.save(step, state)
   if ckpt:
     ckpt.save(step, state, force=True)

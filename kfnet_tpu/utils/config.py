@@ -33,10 +33,14 @@ TWELVE_SCENES = DatasetPreset(
     name="12scenes", intrinsics=(572.0, 572.0, 320.0, 240.0),
     image_size=(480, 640))
 # intrinsics = per-axis scale of the 1670px/1920x1080 SfM calibration to
-# the (272, 480) working size (fy/cy absorb the 270->272 stretch; the
-# runtime K actually comes from cambridge.load_split, kept in sync here)
+# the (272, 480) working size (fy/cy absorb the 270->272 stretch),
+# DERIVED with the same arithmetic cambridge.load_split uses at runtime
+# so preset and loader cannot drift (round-2 advisor finding: a literal
+# fy=420.63 here disagreed with the loader's 1670*272/1080=420.593)
 CAMBRIDGE = DatasetPreset(
-    name="cambridge", intrinsics=(417.5, 420.63, 240.0, 136.0),
+    name="cambridge",
+    intrinsics=(1670.0 * 480.0 / 1920.0, 1670.0 * 272.0 / 1080.0,
+                240.0, 136.0),
     image_size=(272, 480), max_depth=100.0)
 
 PRESETS = {p.name: p for p in (SEVEN_SCENES, TWELVE_SCENES, CAMBRIDGE)}
@@ -79,10 +83,22 @@ def add_common_flags(parser: argparse.ArgumentParser):
   parser.add_argument("--steps_per_dispatch", type=int, default=1,
                       help="optimizer steps per jit dispatch (scan); >1 "
                            "amortizes host dispatch cost")
+  parser.add_argument("--net_scale", default="full",
+                      choices=("full", "small", "tiny"),
+                      help="model width preset: full = flagship paper-"
+                           "parity nets; small/tiny = reduced widths for "
+                           "rehearsals and CI smoke runs of the real-"
+                           "dataset CLI path (tools/acceptance.py)")
   return parser
 
 
 def from_args(args: argparse.Namespace) -> ExperimentConfig:
+  kw = {}
+  scale = getattr(args, "net_scale", "full")
+  if scale != "full":
+    from kfnet_tpu import configs as presets
+    sc_fn, of_fn = presets.NET_SCALES[scale]
+    kw = {"scoordnet": sc_fn(), "oflownet": of_fn()}
   return ExperimentConfig(
       dataset=PRESETS[args.dataset],
       scene=args.scene,
@@ -96,4 +112,5 @@ def from_args(args: argparse.Namespace) -> ExperimentConfig:
       loop=TrainLoopConfig(max_steps=args.max_steps,
                            steps_per_dispatch=args.steps_per_dispatch),
       seed=args.seed,
+      **kw,
   )

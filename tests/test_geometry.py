@@ -89,6 +89,34 @@ def test_pose_errors():
                              rtol=1e-3)
 
 
+def test_rotation_error_resolves_millidegrees():
+  """The arcsin/Frobenius geodesic form must resolve 0.001° (the old
+  f32 arccos-of-trace form quantized at ~0.03°, so every sub-threshold
+  comparison in the protocol reports collapsed to exact 0.00°)."""
+  from kfnet_tpu.pose import metrics as pose_metrics
+  rng = np.random.default_rng(11)
+  T = jnp.asarray(random_pose(rng))
+  for want_deg in (0.001, 0.002, 0.01, 0.5):
+    ang = np.deg2rad(want_deg)
+    axis = np.asarray([0.3, -0.5, 0.8], np.float32)
+    axis /= np.linalg.norm(axis)
+    dR = geo.axis_angle_to_matrix(jnp.asarray(axis * ang, jnp.float32))
+    T2 = geo.make_pose(dR @ T[:3, :3], T[:3, 3])
+    got = float(geo.rotation_error_deg(T2, T))
+    assert abs(got - want_deg) < 0.05 * want_deg, (want_deg, got)
+    # host-side f64 metric path resolves it too (reports use this)
+    _, r = pose_metrics.pose_errors(np.asarray(T2)[None], np.asarray(T)[None])
+    assert abs(float(r[0]) - want_deg) < 0.05 * want_deg
+  # 0.001 and 0.002 are distinct measurements, not a shared quantum
+  assert float(geo.rotation_error_deg(T, T)) < 1e-4
+  # large angles still use the well-conditioned trace form
+  dR = geo.axis_angle_to_matrix(jnp.asarray([0.0, 0.0, np.pi * 0.9],
+                                            jnp.float32))
+  T3 = geo.make_pose(dR @ T[:3, :3], T[:3, 3])
+  np.testing.assert_allclose(float(geo.rotation_error_deg(T3, T)), 162.0,
+                             rtol=1e-3)
+
+
 def test_invert_pose():
   rng = np.random.default_rng(4)
   T = jnp.asarray(random_pose(rng))
