@@ -105,12 +105,20 @@ def render(scene: SyntheticScene, T_wc: jnp.ndarray, K: jnp.ndarray,
 
 def orbit_trajectory(num_frames: int, seed: int = 1,
                      radius: float = 1.2,
-                     scale: float = 1.0) -> jnp.ndarray:
+                     scale: float = 1.0,
+                     duration: float = 1.0) -> jnp.ndarray:
   """Smooth camera trajectory: slow orbit in front of the scene, looking
   at the scene center, with small smooth jitter. Returns (T, 4, 4) T_wc.
-  ``scale`` must match make_scene's (positions stretch with the world)."""
+  ``scale`` must match make_scene's (positions stretch with the world).
+
+  ``duration`` stretches the time parameter: num_frames=480,duration=10
+  has the SAME per-frame motion as num_frames=48,duration=1 (the orbit
+  terms are periodic in s, the jitter harmonics are not, so long runs
+  keep exploring fresh poses) — extending a test sequence for statistical
+  power must NOT shrink inter-frame flow, or the filtering problem gets
+  easier as it gets longer."""
   rng = np.random.default_rng(seed)
-  ts = np.linspace(0, 1, num_frames)
+  ts = np.linspace(0, duration, num_frames)
   look_at = np.array([0.0, 0.0, 2.0], np.float32) * scale
   jitter = rng.normal(size=(3, 3)).astype(np.float32) * 0.05 * scale
   poses = []
@@ -138,18 +146,41 @@ def orbit_trajectory(num_frames: int, seed: int = 1,
 
 def make_sequence(num_frames: int, height: int = 48, width: int = 64,
                   seed: int = 0, fov_scale: float = 1.0,
-                  scale: float = 1.0, traj_seed: int | None = None):
+                  scale: float = 1.0, traj_seed: int | None = None,
+                  duration: float = 1.0, K: jnp.ndarray | None = None):
   """Render a full sequence: dict(images (T,H,W,3), depths (T,H,W),
-  poses (T,4,4), K (3,3)). ``scale`` > 1 gives an outdoor-scale world."""
+  poses (T,4,4), K (3,3)). ``scale`` > 1 gives an outdoor-scale world;
+  ``duration`` > 1 extends the trajectory at constant per-frame motion
+  (see orbit_trajectory). Pass ``K`` to render under an exact camera
+  (e.g. the on-disk 7-Scenes preset for fixtures) instead of the default
+  resolution-scaled one."""
   scene = make_scene(seed, scale=scale)
-  # scale 7-Scenes intrinsics to the requested resolution.
-  sx, sy = width / 640.0, height / 480.0
-  K = jnp.asarray([[585.0 * sx * fov_scale, 0.0, width / 2.0 - 0.5],
-                   [0.0, 585.0 * sy * fov_scale, height / 2.0 - 0.5],
-                   [0.0, 0.0, 1.0]], jnp.float32)
+  if K is None:
+    # scale 7-Scenes intrinsics to the requested resolution.
+    sx, sy = width / 640.0, height / 480.0
+    K = jnp.asarray([[585.0 * sx * fov_scale, 0.0, width / 2.0 - 0.5],
+                     [0.0, 585.0 * sy * fov_scale, height / 2.0 - 0.5],
+                     [0.0, 0.0, 1.0]], jnp.float32)
+  else:
+    K = jnp.asarray(K, jnp.float32)
   poses = orbit_trajectory(
       num_frames, seed=(seed + 1 if traj_seed is None else traj_seed),
-      scale=scale)
-  render_fn = jax.jit(lambda T: render(scene, T, K, height, width))
-  rgbs, depths = jax.vmap(render_fn)(poses)
+      scale=scale, duration=duration)
+  # Render in fixed-size chunks: the raycaster's (H, W, S) sphere-
+  # intersection intermediate is ~60 MB/frame at 640x480, so one vmap
+  # over a 480-frame statistical-power sequence would need ~28 GB of
+  # HBM. Chunking bounds peak memory at chunk x 60 MB with ONE compile
+  # (poses pad to a chunk multiple; padded outputs are dropped).
+  chunk = min(48, num_frames)
+  vrender = jax.jit(jax.vmap(lambda T: render(scene, T, K, height, width)))
+  pad = (-num_frames) % chunk
+  padded = (jnp.concatenate([poses, jnp.repeat(poses[-1:], pad, 0)])
+            if pad else poses)
+  rgb_chunks, depth_chunks = [], []
+  for i in range(0, padded.shape[0], chunk):
+    r, d = vrender(padded[i:i + chunk])
+    rgb_chunks.append(r)
+    depth_chunks.append(d)
+  rgbs = jnp.concatenate(rgb_chunks)[:num_frames]
+  depths = jnp.concatenate(depth_chunks)[:num_frames]
   return {"images": rgbs, "depths": depths, "poses": poses, "K": K}

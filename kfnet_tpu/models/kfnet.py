@@ -35,6 +35,14 @@ class KFNetConfig:
   chi2_threshold: float = kalman.CHI2_3DOF_P05
   invalid_cov: float = 1e8
   use_pallas: bool = False  # fused warp+update kernel (TPU only)
+  # Eval-time process-noise temperature: W ← w_scale·W before the prior
+  # covariance update. A frozen OFlowNet's W is calibrated on its TRAINING
+  # scenes' NLL; on unseen scenes it can be overconfident (W too small →
+  # the prior out-weighs the measurement it should defer to — the round-2
+  # held-out transfer regression). w_scale > 1 restores calibration
+  # without touching weights; fit per scene on that scene's TRAIN split
+  # (tools/calibrate.py), never on test data.
+  w_scale: float = 1.0
 
 
 def init(key: jax.Array, config: KFNetConfig,
@@ -72,7 +80,10 @@ def encode(params, config: KFNetConfig, image: jnp.ndarray):
 
 def flow_from_features(params, config: KFNetConfig, feat_prev, feat_cur):
   cv = cost_volume(feat_prev, feat_cur, config.oflownet.search_radius)
-  return oflownet.decode(params["oflownet"], config.oflownet, cv)
+  flow, W = oflownet.decode(params["oflownet"], config.oflownet, cv)
+  if config.w_scale != 1.0:
+    W = W * config.w_scale  # see KFNetConfig.w_scale (calibration knob)
+  return flow, W
 
 
 def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):

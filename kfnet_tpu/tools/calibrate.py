@@ -1,0 +1,247 @@
+"""Eval-time calibration of the Kalman fusion (χ² gate + process-noise
+temperature) on cached protocol stages.
+
+Round-2 finding: on HELD-OUT scenes the filtered translation error was
+consistently WORSE than measurement-only (all four full-size reports,
+both seeds, clean and stressed) — the frozen OFlowNet's process noise W
+is calibrated on its training scenes, so on unseen scenes the prior can
+out-weigh the measurement it should defer to. This tool answers "is that
+a calibration problem, and what fixes it?" with paired per-frame
+statistics, WITHOUT retraining:
+
+The networks are calibration-invariant: SCoordNet's (z, V) and
+OFlowNet's (flow, W) do not depend on chi2_threshold / w_scale — only
+the scalar Kalman recursion does. So we precompute the network series
+ONCE per scene (one scan over the CNNs) and re-run only the cheap
+fusion recursion with the calibration knobs as TRACED scalars: a full
+2-D grid sweep costs seconds per scene and zero recompiles.
+
+    python -m kfnet_tpu.tools.calibrate --work_dir /tmp/protocol_full \
+        --full_size --test_frames 480 --stress 0.0 \
+        --report docs/CALIBRATION_SWEEP.json
+
+Fit mode (--fit) selects a per-scene w_scale on that scene's TRAIN
+sequence (legitimate calibration data — never the test stream) and
+re-evaluates the test stream at the chosen temperature.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.core import kalman
+from kfnet_tpu.core import warp as warp_lib
+from kfnet_tpu.eval import eval_sequence, stats
+from kfnet_tpu.models import kfnet
+from kfnet_tpu.pose import metrics as pose_metrics
+from kfnet_tpu.tools import protocol
+
+
+@partial(jax.jit, static_argnames=("config",))
+def precompute_series(params, config: kfnet.KFNetConfig,
+                      images: jnp.ndarray):
+  """One pass of both CNNs over a (T, H, W, 3) sequence.
+
+  Returns dict(z0, V0, z, V, flow, W): frame-0 measurement plus the
+  per-transition series for frames 1..T-1 — everything the Kalman
+  recursion consumes. ``config.w_scale`` must be 1 so W is the RAW
+  network output (the sweep applies its own temperature).
+  """
+  images = kfnet.preprocess_images(config, images)
+  z0, V0 = kfnet.measure(params, config, images[0])
+  feat0 = kfnet.encode(params, config, images[0])
+
+  def step(feat_prev, image):
+    z, V = kfnet.measure(params, config, image)
+    feat = kfnet.encode(params, config, image)
+    flow, W = kfnet.flow_from_features(params, config, feat_prev, feat)
+    return feat, {"z": z, "V": V, "flow": flow, "W": W}
+
+  _, rest = jax.lax.scan(step, feat0, images[1:])
+  return {"z0": z0, "V0": V0, **rest}
+
+
+@partial(jax.jit, static_argnames=("config",))
+def filter_from_series(config: kfnet.KFNetConfig, series,
+                       chi2: jnp.ndarray, w_scale: jnp.ndarray):
+  """The Kalman recursion alone, with TRACED calibration scalars.
+
+  Numerically identical to filter/sequence.run_filter at matching static
+  config values (parity-tested); chi2 / w_scale trace as runtime scalars
+  so a grid sweep reuses one executable.
+  """
+  r = float(config.oflownet.search_radius)
+
+  def step(c, inp):
+    x, P = c
+    flow = jnp.clip(inp["flow"], -r, r)
+    x_pr, P_pr, _ = warp_lib.warp_state_cov(
+        x, P, flow, inp["W"] * w_scale, invalid_cov=config.invalid_cov)
+    x1, P1, _ = kalman.kalman_update(x_pr, P_pr, inp["z"], inp["V"],
+                                     threshold=chi2)
+    return (x1, P1), (x1, P1)
+
+  _, (xs, Ps) = jax.lax.scan(
+      step, (series["z0"], series["V0"]),
+      {k: series[k] for k in ("z", "V", "flow", "W")})
+  xs = jnp.concatenate([series["z0"][None], xs])
+  Ps = jnp.concatenate([series["V0"][None], Ps])
+  return xs, Ps
+
+
+def measurement_maps(series):
+  zs = jnp.concatenate([series["z0"][None], series["z"]])
+  Vs = jnp.concatenate([series["V0"][None], series["V"]])
+  return zs, Vs
+
+
+def _pose_errors(solver, xs, Ps, keys, gt):
+  out = solver(xs, Ps, keys)
+  return pose_metrics.pose_errors(np.asarray(out["T_wc"]), gt)
+
+
+def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
+                rcfg, block=24, rng_seed=0):
+  """Grid-sweep one scene's cached models. Returns (rows, meas_row)."""
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = precompute_series(params, cfg1, images)
+  solver = eval_sequence.make_pose_solver(K, config=rcfg)
+  keys = jax.random.split(jax.random.key(rng_seed), images.shape[0])
+  zs, Vs = measurement_maps(series)
+  t_m, r_m = _pose_errors(solver, zs, Vs, keys, gt)
+  meas_row = {"median_translation_m": float(np.median(t_m)),
+              "median_rotation_deg": float(np.median(r_m))}
+  rows = []
+  for chi2 in chi2_grid:
+    for ws in w_grid:
+      xs, Ps = filter_from_series(cfg1, series, jnp.float32(chi2),
+                                  jnp.float32(ws))
+      t_f, r_f = _pose_errors(solver, xs, Ps, keys, gt)
+      row = {"chi2_threshold": float(chi2), "w_scale": float(ws),
+             "median_translation_m": float(np.median(t_f)),
+             "median_rotation_deg": float(np.median(r_f))}
+      row.update(stats.paired_delta_report(
+          t_f, t_m, block=block, prefix="translation_"))
+      row.update(stats.paired_delta_report(
+          r_f, r_m, block=block, prefix="rotation_"))
+      rows.append(row)
+  return rows, meas_row
+
+
+def fit_w_scale(params, cfg, train_images, K, gt_train, w_grid, rcfg,
+                rng_seed=0):
+  """Pick w_scale minimizing mean translation error on the TRAIN
+  sequence (never test data). Returns (best_w, per-candidate means)."""
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = precompute_series(params, cfg1, train_images)
+  solver = eval_sequence.make_pose_solver(K, config=rcfg)
+  keys = jax.random.split(jax.random.key(rng_seed), train_images.shape[0])
+  means = {}
+  for ws in w_grid:
+    xs, Ps = filter_from_series(cfg1, series, jnp.float32(cfg1.chi2_threshold),
+                                jnp.float32(ws))
+    t_f, _ = _pose_errors(solver, xs, Ps, keys, gt_train)
+    means[float(ws)] = float(t_f.mean())
+  best = min(means, key=means.get)
+  return best, means
+
+
+def parse_grid(text: str):
+  return [float(v) for v in text.split(",") if v.strip()]
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument("--work_dir", required=True,
+                 help="protocol --work_dir with cached stage exports")
+  p.add_argument("--report", default="")
+  p.add_argument("--full_size", action="store_true")
+  p.add_argument("--height", type=int, default=96)
+  p.add_argument("--width", type=int, default=128)
+  p.add_argument("--train_frames", type=int, default=48)
+  p.add_argument("--test_frames", type=int, default=480)
+  p.add_argument("--stress", type=float, default=0.0)
+  p.add_argument("--seed_offset", type=int, default=0)
+  p.add_argument("--scenes", default="",
+                 help="comma-separated subset (default: all)")
+  p.add_argument("--chi2_grid", default="1.21,2.37,4.64,7.81,11.34,16.27")
+  p.add_argument("--w_grid", default="0.5,1,2,4,8,16,64")
+  p.add_argument("--fit", action="store_true",
+                 help="fit per-scene w_scale on TRAIN sequences, then "
+                      "evaluate the test stream at the fitted value")
+  p.add_argument("--fit_stress", type=float, default=None,
+                 help="stress level for the TRAIN fit stream (default: "
+                      "same as --stress)")
+  p.add_argument("--block", type=int, default=24,
+                 help="bootstrap block length (frames)")
+  args = p.parse_args(argv)
+
+  kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
+            test_frames=args.test_frames, work_dir=args.work_dir)
+  if args.full_size:
+    kw.update(H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000,
+              of_steps=2000, joint_steps=400)
+  scenes = protocol.DEFAULT_SCENES
+  if args.seed_offset:
+    scenes = tuple(dataclasses.replace(s, seed=s.seed + args.seed_offset)
+                   for s in scenes)
+  if args.scenes:
+    keep = set(args.scenes.split(","))
+    scenes = tuple(s for s in scenes if s.name in keep)
+  data, of, of_train_scenes, joint = protocol.prepare_stages(
+      scenes=scenes, **kw)
+
+  chi2_grid = parse_grid(args.chi2_grid)
+  w_grid = parse_grid(args.w_grid)
+  rcfg = protocol._presets.synthetic_ransac(args.full_size)
+  out = {"stress": args.stress, "test_frames": args.test_frames,
+         "scenes": []}
+  for s in scenes:
+    cfg, params = joint[s.name]
+    d = data[s.name]
+    K = d["train"]["K"]
+    gt = np.asarray(d["test"]["poses"])
+    imgs = d["test"]["images"]
+    if args.stress > 0:
+      imgs = protocol.stress_images(imgs, args.stress, s.seed + 5)
+    entry = {"scene": s.name, "held_out": s.held_out,
+             "dataset": s.dataset}
+    if args.fit:
+      fit_stress = (args.stress if args.fit_stress is None
+                    else args.fit_stress)
+      train_imgs = d["train"]["images"]
+      if fit_stress > 0:
+        # different noise seed than the test stream on purpose
+        train_imgs = protocol.stress_images(train_imgs, fit_stress,
+                                            s.seed + 77)
+      best_w, means = fit_w_scale(
+          params, cfg, train_imgs, K, np.asarray(d["train"]["poses"]),
+          w_grid, rcfg)
+      entry["fitted_w_scale"] = best_w
+      entry["fit_train_mean_translation_by_w"] = means
+      rows, meas = sweep_scene(params, cfg, imgs, K, gt,
+                               [cfg.chi2_threshold], [best_w], rcfg,
+                               block=args.block)
+    else:
+      rows, meas = sweep_scene(params, cfg, imgs, K, gt, chi2_grid,
+                               w_grid, rcfg, block=args.block)
+    entry["measurement_only"] = meas
+    entry["points"] = rows
+    out["scenes"].append(entry)
+    print(json.dumps({"scene": s.name, "measurement_only": meas,
+                      "n_points": len(rows)}))
+  if args.report:
+    with open(args.report, "w") as f:
+      json.dump(out, f, indent=2)
+  return out
+
+
+if __name__ == "__main__":
+  main()

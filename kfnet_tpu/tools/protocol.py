@@ -64,9 +64,13 @@ def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
   train = synthetic.make_sequence(train_frames, height=H, width=W,
                                   seed=spec.seed, scale=spec.scale,
                                   traj_seed=spec.seed + 1)
+  # Test duration scales with length so per-frame motion stays constant:
+  # a longer eval sequence (for statistical power) must not shrink
+  # inter-frame flow, or the filtering task gets easier as T grows.
   test = synthetic.make_sequence(test_frames, height=H, width=W,
                                  seed=spec.seed, scale=spec.scale,
-                                 traj_seed=spec.seed + 99)
+                                 traj_seed=spec.seed + 99,
+                                 duration=test_frames / float(train_frames))
   max_depth = 10.0 * spec.scale
   lab = jax.vmap(lambda d, T: labels.generate(
       d, train["K"], T, stride=8, max_depth=max_depth))
@@ -103,16 +107,17 @@ def _cached_stage(work_dir, name, template, fit_fn):
   return params, loss
 
 
-def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
-                 sc_steps=1200, of_steps=1000, joint_steps=200,
-                 lr=2e-3, scenes=DEFAULT_SCENES, log=print,
-                 full_size=False, work_dir=None, stress=0.0):
-  """Returns the per-scene report list (see module docstring).
+def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
+                   sc_steps=1200, of_steps=1000, joint_steps=200,
+                   lr=2e-3, scenes=DEFAULT_SCENES, log=print,
+                   full_size=False, work_dir=None):
+  """Stages 1–3 of the protocol (training; cached per stage in work_dir).
 
-  full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
-  OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams).
-  work_dir enables per-stage checkpointing (crash → rerun skips finished
-  stages)."""
+  Returns (data, of, of_train_scenes, joint): per-scene rendered data,
+  per-dataset frozen OFlowNets, their training-scene lists, and per-scene
+  (KFNetConfig, params). Split from evaluation so calibration sweeps
+  (tools/calibrate.py) can re-evaluate cached stages in minutes without
+  retraining."""
   data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
           for s in scenes}
   sc_cfg_fn = (_presets.full_scoordnet if full_size
@@ -195,29 +200,58 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                   log=log)))
     joint[s.name] = (cfg, params)
 
-  # ---- eval: filtered vs measurement-only per scene ---------------------
+  return data, of, of_train_scenes, joint
+
+
+def stress_images(images, stress: float, seed: int):
+  """Per-frame pixel noise + brightness flicker on a test stream (train
+  stays clean). On clean synthetic frames the measurement net is near-
+  perfect and the filtered-vs-measurement delta is seed noise (round-2
+  two-seed full-size finding); independent per-frame corruption is the
+  regime the temporal filter exists for (paper §1), so this is the
+  discriminative variant of the protocol."""
+  import jax.numpy as jnp
+  rng_s = np.random.default_rng(seed)
+  imgs = np.asarray(images, np.float32)
+  flicker = rng_s.uniform(-3 * stress, 3 * stress,
+                          (imgs.shape[0], 1, 1, 1)).astype(np.float32)
+  noise = rng_s.normal(0, stress, imgs.shape).astype(np.float32)
+  return jnp.asarray(np.clip(imgs + flicker + noise, 0.0, 1.0))
+
+
+def evaluate_scenes(data, of, of_train_scenes, joint,
+                    scenes=DEFAULT_SCENES, full_size=False, log=print,
+                    stress=0.0, chi2_threshold=None, w_scale=None,
+                    per_scene_w_scale=None, bootstrap_block=24):
+  """Filtered vs measurement-only eval per scene, with PAIRED per-frame
+  deltas + moving-block-bootstrap CIs (the decisive statistic — scene
+  medians of short sequences are seed-noise-dominated; see eval/stats.py).
+
+  chi2_threshold / w_scale (global) and per_scene_w_scale (dict
+  scene→float, wins over global) override the filter calibration at eval
+  time without touching trained weights.
+  """
+  from kfnet_tpu.eval import stats as stats_lib
+  from kfnet_tpu.pose import metrics as pose_metrics
+
   rcfg = _presets.synthetic_ransac(full_size)  # mirrors demo --full_size
   reports = []
   for s in scenes:
     cfg, params = joint[s.name]
+    overrides = {}
+    if chi2_threshold is not None:
+      overrides["chi2_threshold"] = float(chi2_threshold)
+    ws = (per_scene_w_scale or {}).get(s.name, w_scale)
+    if ws is not None:
+      overrides["w_scale"] = float(ws)
+    if overrides:
+      cfg = dataclasses.replace(cfg, **overrides)
     d = data[s.name]
     K = d["train"]["K"]
     gt = np.asarray(d["test"]["poses"])
     test_imgs = d["test"]["images"]
     if stress > 0:
-      # Stressed eval: per-frame pixel noise + brightness flicker on the
-      # TEST stream only (train stays clean). On clean synthetic frames
-      # the measurement net is near-perfect and the filtered-vs-
-      # measurement delta is seed noise (two-seed full-size finding);
-      # independent per-frame corruption is the regime the temporal
-      # filter exists for (paper §1), so this is the discriminative
-      # variant of the protocol.
-      rng_s = np.random.default_rng(s.seed + 5)
-      imgs = np.asarray(test_imgs, np.float32)
-      flicker = rng_s.uniform(-3 * stress, 3 * stress,
-                              (imgs.shape[0], 1, 1, 1)).astype(np.float32)
-      noise = rng_s.normal(0, stress, imgs.shape).astype(np.float32)
-      test_imgs = jnp.asarray(np.clip(imgs + flicker + noise, 0.0, 1.0))
+      test_imgs = stress_images(test_imgs, stress, s.seed + 5)
     res_m = eval_sequence.evaluate_measurement_only(
         params, cfg, test_imgs, K, gt_poses=gt,
         scene=s.name, ransac_config=rcfg)
@@ -227,6 +261,14 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
     acc_f = eval_sequence.coord_accuracy_report(
         res_f.coords, np.asarray(d["test_coords"]),
         np.asarray(d["test_valid"]))
+    # paired per-frame deltas: the same frame under both modes
+    t_f, r_f = pose_metrics.pose_errors(res_f.poses, gt)
+    t_m, r_m = pose_metrics.pose_errors(res_m.poses, gt)
+    paired = {}
+    paired.update(stats_lib.paired_delta_report(
+        t_f, t_m, block=bootstrap_block, prefix="translation_"))
+    paired.update(stats_lib.paired_delta_report(
+        r_f, r_m, block=bootstrap_block, prefix="rotation_"))
     # stage-2 NLL on this scene's pairs with its dataset's frozen OFlowNet
     # (the outdoor rows prove the loss stays finite at 20x coord scale).
     of_cfg, of_params, of_final_loss = of[s.dataset]
@@ -237,6 +279,8 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
         "world_scale": s.scale,
         "oflownet_trained_on": of_train_scenes[s.dataset],
         "coord_scale": joint[s.name][0].scoordnet.coord_scale,
+        "chi2_threshold": float(cfg.chi2_threshold),
+        "w_scale": float(cfg.w_scale),
         "median_translation_m": res_f.report["median_translation_m"],
         "median_rotation_deg": res_f.report["median_rotation_deg"],
         "accuracy_5cm_5deg": res_f.report["accuracy_5cm_5deg"],
@@ -244,15 +288,39 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
             res_m.report["median_translation_m"],
         "measurement_only_rotation_deg":
             res_m.report["median_rotation_deg"],
+        **paired,
         "median_coord_err_m": acc_f["median_coord_err_m"],
         "stage2_final_loss": of_final_loss,
-        "frames": int(test_frames),
+        "frames": int(gt.shape[0]),
         "stress": float(stress),
     }
     reports.append(row)
     if log:
       log(json.dumps(row))
   return reports
+
+
+def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
+                 sc_steps=1200, of_steps=1000, joint_steps=200,
+                 lr=2e-3, scenes=DEFAULT_SCENES, log=print,
+                 full_size=False, work_dir=None, stress=0.0,
+                 chi2_threshold=None, w_scale=None):
+  """Full protocol = prepare_stages (cached training) + evaluate_scenes.
+
+  full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
+  OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams).
+  work_dir enables per-stage checkpointing (crash → rerun skips finished
+  stages; an eval-only re-run with new test_frames/stress/calibration
+  settings reuses all training)."""
+  data, of, of_train_scenes, joint = prepare_stages(
+      H=H, W=W, train_frames=train_frames, test_frames=test_frames,
+      sc_steps=sc_steps, of_steps=of_steps, joint_steps=joint_steps,
+      lr=lr, scenes=scenes, log=log, full_size=full_size,
+      work_dir=work_dir)
+  return evaluate_scenes(
+      data, of, of_train_scenes, joint, scenes=scenes,
+      full_size=full_size, log=log, stress=stress,
+      chi2_threshold=chi2_threshold, w_scale=w_scale)
 
 
 def main(argv=None):
@@ -271,6 +339,14 @@ def main(argv=None):
                       "(pixel-noise sigma; also drives +-3x brightness "
                       "flicker). ~0.08 = the discriminative protocol "
                       "variant where temporal filtering must win")
+  p.add_argument("--chi2_threshold", type=float, default=None,
+                 help="override the filter's chi^2(3) consistency gate at "
+                      "eval time (default: the trained config's 7.81 = "
+                      "p0.05)")
+  p.add_argument("--w_scale", type=float, default=None,
+                 help="eval-time process-noise temperature (W <- s*W); "
+                      ">1 deflates an overconfident frozen OFlowNet on "
+                      "unseen scenes (see KFNetConfig.w_scale)")
   p.add_argument("--seed_offset", type=int, default=0,
                  help="offset every scene's seed (fresh geometry, "
                       "trajectories, and inits) — run the protocol a "
@@ -290,7 +366,8 @@ def main(argv=None):
             test_frames=args.test_frames, sc_steps=args.sc_steps,
             of_steps=args.of_steps, joint_steps=args.joint_steps,
             lr=args.learning_rate, work_dir=args.work_dir or None,
-            stress=args.stress)
+            stress=args.stress, chi2_threshold=args.chi2_threshold,
+            w_scale=args.w_scale)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)

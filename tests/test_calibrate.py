@@ -1,0 +1,99 @@
+"""tools/calibrate.py: the traced-knob recursion must match the real
+filter, and the knobs must move the posterior the way the math says."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.filter import sequence
+from kfnet_tpu.models import kfnet
+from kfnet_tpu.tools import calibrate
+from tests import tiny_configs as tc
+
+
+def _setup(w_scale=1.0, chi2=None, T=6, seed=0):
+  kw = {"w_scale": w_scale}
+  if chi2 is not None:
+    kw["chi2_threshold"] = chi2
+  cfg = tc.tiny_kfnet(**kw)
+  params = kfnet.init(jax.random.key(seed), cfg, tc.IMG)
+  images = tc.random_images(T, seed=seed + 1)
+  return cfg, params, images
+
+
+def test_series_recursion_matches_run_filter():
+  """filter_from_series with traced knobs == run_filter with the same
+  values baked into the static config (incl. non-default values)."""
+  for w_scale, chi2 in [(1.0, None), (4.0, 2.37)]:
+    cfg, params, images = _setup(w_scale=w_scale, chi2=chi2)
+    xs_ref, Ps_ref, _ = sequence.run_filter(params, cfg, images)
+    cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+    series = calibrate.precompute_series(params, cfg1, images)
+    xs, Ps = calibrate.filter_from_series(
+        cfg1, series, jnp.float32(cfg.chi2_threshold),
+        jnp.float32(w_scale))
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_measurement_maps_match_first_frame_and_measure():
+  cfg, params, images = _setup()
+  series = calibrate.precompute_series(params, cfg, images)
+  zs, Vs = calibrate.measurement_maps(series)
+  pre = kfnet.preprocess_images(cfg, images)
+  z3, V3 = kfnet.measure(params, cfg, pre[3])
+  # 5e-5 absorbs compile-order variance (scan body vs standalone jit;
+  # ~1e-5 documented in CLAUDE.md conventions)
+  np.testing.assert_allclose(np.asarray(zs[3]), np.asarray(z3), atol=5e-5)
+  np.testing.assert_allclose(np.asarray(Vs[3]), np.asarray(V3), atol=5e-5)
+
+
+def test_w_scale_limits():
+  """w_scale → large must drive the posterior to the measurement (K → 1);
+  w_scale < 1 must pull it closer to the prior than w_scale = 1."""
+  cfg, params, images = _setup()
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = calibrate.precompute_series(params, cfg1, images)
+  zs, _ = calibrate.measurement_maps(series)
+  chi2 = jnp.float32(1e9)  # disable the gate so the limit is pure-gain
+  xs_huge, _ = calibrate.filter_from_series(cfg1, series, chi2,
+                                            jnp.float32(1e9))
+  np.testing.assert_allclose(np.asarray(xs_huge), np.asarray(zs),
+                             atol=1e-4)
+  xs_1, _ = calibrate.filter_from_series(cfg1, series, chi2,
+                                         jnp.float32(1.0))
+  xs_small, _ = calibrate.filter_from_series(cfg1, series, chi2,
+                                             jnp.float32(0.25))
+  d1 = float(jnp.mean(jnp.abs(xs_1[1:] - zs[1:])))
+  dsmall = float(jnp.mean(jnp.abs(xs_small[1:] - zs[1:])))
+  assert dsmall > d1 > 0  # smaller W ⇒ more prior weight ⇒ further from z
+
+
+def test_chi2_zero_is_measurement_only():
+  cfg, params, images = _setup()
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = calibrate.precompute_series(params, cfg1, images)
+  zs, Vs = calibrate.measurement_maps(series)
+  xs, Ps = calibrate.filter_from_series(cfg1, series, jnp.float32(0.0),
+                                        jnp.float32(1.0))
+  # chi2 gate at 0 rejects every pixel -> posterior == measurement
+  np.testing.assert_allclose(np.asarray(xs), np.asarray(zs), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(Ps), np.asarray(Vs), atol=1e-6)
+
+
+def test_sweep_reuses_one_executable():
+  """The whole point: no recompiles across grid points (traced knobs)."""
+  cfg, params, images = _setup()
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = calibrate.precompute_series(params, cfg1, images)
+  fn = calibrate.filter_from_series
+  fn(cfg1, series, jnp.float32(1.0), jnp.float32(1.0))
+  misses0 = fn._cache_size()
+  for chi2 in (0.5, 3.0, 7.81):
+    for ws in (0.5, 2.0, 8.0):
+      fn(cfg1, series, jnp.float32(chi2), jnp.float32(ws))
+  assert fn._cache_size() == misses0
