@@ -83,6 +83,39 @@ def small_oflownet():
       compute_dtype="float32")
 
 
+def tiny_scoordnet(mean=(0.0, 0.0, 0.0), std=1.0):
+  """Minimal SCoordNet — CI smoke tests of the real-dataset CLI path
+  (tools/acceptance.py fixture run on one CPU core)."""
+  from kfnet_tpu.models import scoordnet
+  return scoordnet.SCoordNetConfig(
+      channels=(8, 8, 16, 16, 16, 16), strides=(1, 2, 1, 2, 1, 2),
+      head_channels=16, compute_dtype="float32",
+      coord_offset=tuple(float(x) for x in mean), coord_scale=float(std))
+
+
+def tiny_oflownet():
+  """Minimal OFlowNet (see tiny_scoordnet)."""
+  from kfnet_tpu.models import oflownet
+  return oflownet.OFlowNetConfig(
+      encoder_channels=(8, 8, 16), encoder_strides=(2, 2, 2),
+      search_radius=2, unet_channels=(8, 8, 16),
+      compute_dtype="float32")
+
+
+def full_oflownet():
+  """Flagship OFlowNet (paper-parity width)."""
+  from kfnet_tpu.models import oflownet
+  return oflownet.OFlowNetConfig()
+
+
+# --net_scale CLI choices: (scoordnet factory(mean, std), oflownet factory)
+NET_SCALES = {
+    "full": (full_scoordnet, full_oflownet),
+    "small": (small_scoordnet, small_oflownet),
+    "tiny": (tiny_scoordnet, tiny_oflownet),
+}
+
+
 def synthetic_ransac(full_size: bool):
   """RANSAC preset matched to the synthetic demo/protocol eval."""
   from kfnet_tpu.pose import ransac

@@ -30,6 +30,10 @@ def main(argv=None):
   parser = config_lib.add_common_flags(argparse.ArgumentParser())
   parser.add_argument("--scoordnet_ckpt", default="")
   parser.add_argument("--oflownet_ckpt", default="")
+  parser.add_argument("--kfnet_ckpt", default="",
+                      help="combined stage-3 export ({scoordnet, "
+                           "oflownet} tree from train_kfnet) — "
+                           "alternative to the two per-subnet ckpts")
   parser.add_argument("--report", default="")
   parser.add_argument("--measurement_only", action="store_true")
   parser.add_argument("--use_pallas", action="store_true",
@@ -41,6 +45,10 @@ def main(argv=None):
   parser.add_argument("--chi2_threshold", type=float, default=None,
                       help="override the consistency-test threshold "
                            "(chi-square 3 dof; default p=0.05 -> 7.81)")
+  parser.add_argument("--w_scale", type=float, default=None,
+                      help="eval-time process-noise temperature W <- s*W "
+                           "(>1 deflates an overconfident OFlowNet on "
+                           "scenes it never saw; see KFNetConfig.w_scale)")
   parser.add_argument("--pnp_solver", default="dlt", choices=("dlt", "p3p"),
                       help="RANSAC minimal solver (p3p = 3-pt Grunert, "
                            "survives lower inlier ratios and is faster; "
@@ -56,15 +64,35 @@ def main(argv=None):
   args = parser.parse_args(argv)
   exp = config_lib.from_args(args)
 
-  image_shape = exp.dataset.image_size + (3,)
-  cfg, params = load_pretrained(
-      exp, image_shape, args.scoordnet_ckpt or None,
-      args.oflownet_ckpt or None, seed=exp.seed)
   import dataclasses
+
+  image_shape = exp.dataset.image_size + (3,)
+  if args.kfnet_ckpt:
+    if args.scoordnet_ckpt or args.oflownet_ckpt:
+      raise ValueError("--kfnet_ckpt replaces --scoordnet_ckpt/"
+                       "--oflownet_ckpt; pass one or the other")
+    from kfnet_tpu.models import kfnet as kfnet_lib
+    from kfnet_tpu.utils import checkpoint as ckpt_lib
+    meta = ckpt_lib.load_meta(args.kfnet_ckpt) or {}
+    scfg = exp.scoordnet
+    if "coord_scale" in meta:
+      scfg = dataclasses.replace(
+          scfg,
+          coord_offset=tuple(float(x) for x in meta["coord_offset"]),
+          coord_scale=float(meta["coord_scale"]))
+    cfg = kfnet_lib.KFNetConfig(scoordnet=scfg, oflownet=exp.oflownet)
+    params = kfnet_lib.init(jax.random.key(exp.seed), cfg, image_shape)
+    params = ckpt_lib.load_params(args.kfnet_ckpt, template=params)
+  else:
+    cfg, params = load_pretrained(
+        exp, image_shape, args.scoordnet_ckpt or None,
+        args.oflownet_ckpt or None, seed=exp.seed)
   if args.use_pallas:
     cfg = dataclasses.replace(cfg, use_pallas=True)
   if args.chi2_threshold is not None:
     cfg = dataclasses.replace(cfg, chi2_threshold=args.chi2_threshold)
+  if args.w_scale is not None:
+    cfg = dataclasses.replace(cfg, w_scale=args.w_scale)
 
   from kfnet_tpu.data import registry
   adapter = registry.get(exp.dataset.name)
