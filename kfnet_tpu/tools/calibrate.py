@@ -195,8 +195,6 @@ def main(argv=None):
   if args.scenes:
     keep = set(args.scenes.split(","))
     scenes = tuple(s for s in scenes if s.name in keep)
-  data, of, of_train_scenes, joint = protocol.prepare_stages(
-      scenes=scenes, **kw)
 
   chi2_grid = parse_grid(args.chi2_grid)
   w_grid = parse_grid(args.w_grid)
@@ -204,6 +202,11 @@ def main(argv=None):
   out = {"stress": args.stress, "test_frames": args.test_frames,
          "scenes": []}
   for s in scenes:
+    # one scene at a time: 480-frame full-size render + depth + stage
+    # params ≈ 3 GB HBM per scene — all six at once would not fit.
+    # strict_cache: a sweep must NEVER silently retrain a missing stage.
+    data, of, _, joint = protocol.prepare_stages(
+        scenes=(s,), strict_cache=True, **kw)
     cfg, params = joint[s.name]
     d = data[s.name]
     K = d["train"]["K"]
@@ -236,7 +239,8 @@ def main(argv=None):
     entry["points"] = rows
     out["scenes"].append(entry)
     print(json.dumps({"scene": s.name, "measurement_only": meas,
-                      "n_points": len(rows)}))
+                      "n_points": len(rows)}), flush=True)
+    del data, joint, params, d, imgs  # free HBM before the next scene
   if args.report:
     with open(args.report, "w") as f:
       json.dump(out, f, indent=2)

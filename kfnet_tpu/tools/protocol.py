@@ -85,7 +85,7 @@ def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
 from kfnet_tpu import configs as _presets  # noqa: E402
 
 
-def _cached_stage(work_dir, name, template, fit_fn):
+def _cached_stage(work_dir, name, template, fit_fn, strict=False):
   """Stage-level resume: if ``work_dir/name`` holds an export, restore it
   instead of re-training (long full-size runs survive host/tunnel crashes
   — the orbax analog of the trainer's resume-by-step, at protocol
@@ -99,6 +99,12 @@ def _cached_stage(work_dir, name, template, fit_fn):
       meta = ckpt_lib.load_meta(d) or {}
       return (ckpt_lib.load_params(d, template=template),
               float(meta.get("final_loss", float("nan"))))
+  if strict:
+    raise RuntimeError(
+        f"stage {name!r} is not cached in {work_dir!r} but strict_cache "
+        "was requested (eval-only reuse, e.g. tools/calibrate.py) — a "
+        "silent retrain here would evaluate different weights than the "
+        "run being analyzed")
   params, m = fit_fn()
   loss = float(m["loss"])
   if work_dir:
@@ -110,14 +116,17 @@ def _cached_stage(work_dir, name, template, fit_fn):
 def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
                    sc_steps=1200, of_steps=1000, joint_steps=200,
                    lr=2e-3, scenes=DEFAULT_SCENES, log=print,
-                   full_size=False, work_dir=None):
+                   full_size=False, work_dir=None, strict_cache=False):
   """Stages 1–3 of the protocol (training; cached per stage in work_dir).
 
   Returns (data, of, of_train_scenes, joint): per-scene rendered data,
   per-dataset frozen OFlowNets, their training-scene lists, and per-scene
   (KFNetConfig, params). Split from evaluation so calibration sweeps
   (tools/calibrate.py) can re-evaluate cached stages in minutes without
-  retraining."""
+  retraining; strict_cache=True makes any cache miss an error (and lets
+  callers pass a SINGLE scene while stage 2/3 load per-dataset caches
+  trained on the full scene set — training pair data is only assembled
+  when a stage actually trains)."""
   data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
           for s in scenes}
   sc_cfg_fn = (_presets.full_scoordnet if full_size
@@ -145,7 +154,7 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
         lambda: (lambda st, m: (st.params, m))(*fit_on_device(
             loss_fn, params, batch, sc_steps, lr,
             batch=sc_batch, chunk=sc_chunk,
-            tag=f"stage1[{s.name}]", log=log)))
+            tag=f"stage1[{s.name}]", log=log)), strict=strict_cache)
     sc[s.name] = (cfg, trained)
 
   # ---- stage 2: one OFlowNet per dataset, held-out scenes excluded ------
@@ -154,28 +163,36 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
   for dataset in sorted({s.dataset for s in scenes}):
     members = [s for s in scenes if s.dataset == dataset and not s.held_out]
     of_train_scenes[dataset] = [s.name for s in members]
-    # stays ON DEVICE: a host round trip here costs ~25 min at full size
-    # on this sandbox's ~90 MB/s tunnel (images are ~1 GB per dataset)
-    import jax.numpy as jnp
-    pair = {k: [] for k in ("image_prev", "image", "coords_prev",
-                            "valid_prev", "coords", "valid")}
-    for s in members:
-      d = data[s.name]
-      pair["image_prev"].append(d["train"]["images"][:-1])
-      pair["image"].append(d["train"]["images"][1:])
-      pair["coords_prev"].append(d["coords"][:-1])
-      pair["valid_prev"].append(d["valid"][:-1])
-      pair["coords"].append(d["coords"][1:])
-      pair["valid"].append(d["valid"][1:])
-    pair = {k: jnp.concatenate(v) for k, v in pair.items()}
     cfg = of_cfg_fn()
     params = oflownet.init(jax.random.key(101), cfg, (H, W, 3))
-    loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
+
+    def fit_stage2(members=members, cfg=cfg, params=params,
+                   dataset=dataset):
+      # pair data is assembled ONLY when the stage actually trains (a
+      # cached load must not pay it — strict_cache callers may hold a
+      # single scene, or 480-frame eval sequences that would not fit in
+      # HBM alongside it). Stays ON DEVICE: a host round trip here costs
+      # ~25 min at full size on this sandbox's ~90 MB/s tunnel.
+      import jax.numpy as jnp
+      pair = {k: [] for k in ("image_prev", "image", "coords_prev",
+                              "valid_prev", "coords", "valid")}
+      for s in members:
+        d = data[s.name]
+        pair["image_prev"].append(d["train"]["images"][:-1])
+        pair["image"].append(d["train"]["images"][1:])
+        pair["coords_prev"].append(d["coords"][:-1])
+        pair["valid_prev"].append(d["valid"][:-1])
+        pair["coords"].append(d["coords"][1:])
+        pair["valid"].append(d["valid"][1:])
+      pair = {k: jnp.concatenate(v) for k, v in pair.items()}
+      loss_fn = objectives.oflownet_objective(cfg, flow_reg_weight=0.01)
+      st, m = fit_on_device(loss_fn, params, pair, of_steps, lr,
+                            tag=f"stage2[{dataset}]", seed=1, log=log)
+      return st.params, m
+
     trained, final_loss = _cached_stage(
-        work_dir, f"stage2_{dataset}", params,
-        lambda: (lambda st, m: (st.params, m))(*fit_on_device(
-            loss_fn, params, pair, of_steps, lr,
-            tag=f"stage2[{dataset}]", seed=1, log=log)))
+        work_dir, f"stage2_{dataset}", params, fit_stage2,
+        strict=strict_cache)
     of[dataset] = (cfg, trained, final_loss)
 
   # ---- stage 3: joint fine-tune per training scene ----------------------
@@ -186,18 +203,19 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
     cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
     params = {"scoordnet": sc_params, "oflownet": of_params}
     if joint_steps > 0 and not s.held_out:
-      d = data[s.name]
-      pair = {"image_prev": d["train"]["images"][:-1],
-              "image": d["train"]["images"][1:],
-              "coords": d["coords"][1:], "valid": d["valid"][1:]}
-      params, _ = _cached_stage(
-          work_dir, f"stage3_{s.name}", params,
-          lambda cfg=cfg, params=params, pair=pair, name=s.name:
-              (lambda st, m: (st.params, m))(*fit_on_device(
-                  objectives.kfnet_objective(cfg), params, pair,
-                  joint_steps, lr * 0.1, batch=joint_batch,
-                  chunk=joint_chunk, tag=f"stage3[{name}]", seed=2,
-                  log=log)))
+      def fit_stage3(cfg=cfg, params=params, name=s.name):
+        d = data[name]  # assembled only on a real (non-cached) train
+        pair = {"image_prev": d["train"]["images"][:-1],
+                "image": d["train"]["images"][1:],
+                "coords": d["coords"][1:], "valid": d["valid"][1:]}
+        st, m = fit_on_device(
+            objectives.kfnet_objective(cfg), params, pair,
+            joint_steps, lr * 0.1, batch=joint_batch,
+            chunk=joint_chunk, tag=f"stage3[{name}]", seed=2, log=log)
+        return st.params, m
+
+      params, _ = _cached_stage(work_dir, f"stage3_{s.name}", params,
+                                fit_stage3, strict=strict_cache)
     joint[s.name] = (cfg, params)
 
   return data, of, of_train_scenes, joint
