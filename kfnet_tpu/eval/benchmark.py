@@ -142,11 +142,22 @@ def main(argv=None):
   p.add_argument("--width", type=int, default=640)
   p.add_argument("--frames", type=int, default=32)
   p.add_argument("--no_pallas", action="store_true")
+  p.add_argument("--serving", action="store_true",
+                 help="also run the serving sweep: batched-lockstep fps "
+                      "at 640x480 AND 96x128 (the two regimes — one chip "
+                      "saturates at B=1 full size, batching wins 4x+ at "
+                      "small size), one JSON line per resolution")
   args = p.parse_args(argv)
-  res = run(args.height, args.width, args.frames,
-            use_pallas=False if args.no_pallas else None)
-  print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
-                    for k, v in res.items()}))
+  use_pallas = False if args.no_pallas else None
+  res = run(args.height, args.width, args.frames, use_pallas=use_pallas)
+  fmt = lambda r: json.dumps({k: (round(v, 3) if isinstance(v, float)
+                                  else v) for k, v in r.items()})
+  print(fmt(res))
+  if args.serving:
+    for h, w in ((480, 640), (96, 128)):
+      if (h, w) == (args.height, args.width):
+        continue  # already measured above
+      print(fmt(run(h, w, args.frames, use_pallas=use_pallas)))
 
 
 if __name__ == "__main__":

@@ -70,22 +70,38 @@ def precompute_series(params, config: kfnet.KFNetConfig,
 
 @partial(jax.jit, static_argnames=("config",))
 def filter_from_series(config: kfnet.KFNetConfig, series,
-                       chi2: jnp.ndarray, w_scale: jnp.ndarray):
+                       chi2: jnp.ndarray, w_scale: jnp.ndarray,
+                       alpha_max: jnp.ndarray | float = 0.0):
   """The Kalman recursion alone, with TRACED calibration scalars.
 
   Numerically identical to filter/sequence.run_filter at matching static
-  config values (parity-tested); chi2 / w_scale trace as runtime scalars
-  so a grid sweep reuses one executable.
+  config values (parity-tested); chi2 / w_scale / alpha_max trace as
+  runtime scalars so a grid sweep reuses one executable.
+
+  alpha_max >= 1 enables innovation-adaptive prior inflation (classic
+  IAE / covariance-matching adaptive Kalman): per frame, the clipped
+  mean Mahalanobis statistic m̄ of the innovation under S = P⁻+V has
+  expectation 3 (dof) when calibration is right; m̄ > 3 means the prior
+  is overconfident (the held-out transfer failure mode), so P⁻ inflates
+  by α = clip(m̄/3, 1, alpha_max) before the gain. Scene-agnostic, no
+  per-scene fitting. alpha_max < 1 disables (α ≡ 1).
   """
   r = float(config.oflownet.search_radius)
+  alpha_max = jnp.float32(alpha_max)
 
   def step(c, inp):
     x, P = c
     flow = jnp.clip(inp["flow"], -r, r)
     x_pr, P_pr, _ = warp_lib.warp_state_cov(
         x, P, flow, inp["W"] * w_scale, invalid_cov=config.invalid_cov)
-    x1, P1, _ = kalman.kalman_update(x_pr, P_pr, inp["z"], inp["V"],
-                                     threshold=chi2)
+    maha = kalman.mahalanobis_sq(inp["z"] - x_pr, P_pr, inp["V"])
+    # clip per-pixel maha: χ²-reset-grade outliers (prior plainly wrong)
+    # must not dominate the inflation estimate for every other pixel
+    m_bar = jnp.mean(jnp.minimum(maha, 25.0))
+    alpha = jnp.where(alpha_max >= 1.0,
+                      jnp.clip(m_bar / 3.0, 1.0, alpha_max), 1.0)
+    x1, P1, _ = kalman.kalman_update(x_pr, alpha * P_pr, inp["z"],
+                                     inp["V"], threshold=chi2)
     return (x1, P1), (x1, P1)
 
   _, (xs, Ps) = jax.lax.scan(
@@ -108,7 +124,7 @@ def _pose_errors(solver, xs, Ps, keys, gt):
 
 
 def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
-                rcfg, block=24, rng_seed=0):
+                rcfg, block=24, rng_seed=0, alpha_grid=(0.0,)):
   """Grid-sweep one scene's cached models. Returns (rows, meas_row)."""
   cfg1 = dataclasses.replace(cfg, w_scale=1.0)
   series = precompute_series(params, cfg1, images)
@@ -121,17 +137,19 @@ def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
   rows = []
   for chi2 in chi2_grid:
     for ws in w_grid:
-      xs, Ps = filter_from_series(cfg1, series, jnp.float32(chi2),
-                                  jnp.float32(ws))
-      t_f, r_f = _pose_errors(solver, xs, Ps, keys, gt)
-      row = {"chi2_threshold": float(chi2), "w_scale": float(ws),
-             "median_translation_m": float(np.median(t_f)),
-             "median_rotation_deg": float(np.median(r_f))}
-      row.update(stats.paired_delta_report(
-          t_f, t_m, block=block, prefix="translation_"))
-      row.update(stats.paired_delta_report(
-          r_f, r_m, block=block, prefix="rotation_"))
-      rows.append(row)
+      for am in alpha_grid:
+        xs, Ps = filter_from_series(cfg1, series, jnp.float32(chi2),
+                                    jnp.float32(ws), jnp.float32(am))
+        t_f, r_f = _pose_errors(solver, xs, Ps, keys, gt)
+        row = {"chi2_threshold": float(chi2), "w_scale": float(ws),
+               "alpha_max": float(am),
+               "median_translation_m": float(np.median(t_f)),
+               "median_rotation_deg": float(np.median(r_f))}
+        row.update(stats.paired_delta_report(
+            t_f, t_m, block=block, prefix="translation_"))
+        row.update(stats.paired_delta_report(
+            r_f, r_m, block=block, prefix="rotation_"))
+        rows.append(row)
   return rows, meas_row
 
 
@@ -173,6 +191,9 @@ def main(argv=None):
                  help="comma-separated subset (default: all)")
   p.add_argument("--chi2_grid", default="1.21,2.37,4.64,7.81,11.34,16.27")
   p.add_argument("--w_grid", default="0.5,1,2,4,8,16,64")
+  p.add_argument("--alpha_grid", default="0",
+                 help="innovation-adaptive inflation caps to cross with "
+                      "the grid (0 = off; see filter_from_series)")
   p.add_argument("--fit", action="store_true",
                  help="fit per-scene w_scale on TRAIN sequences, then "
                       "evaluate the test stream at the fitted value")
@@ -234,7 +255,8 @@ def main(argv=None):
                                block=args.block)
     else:
       rows, meas = sweep_scene(params, cfg, imgs, K, gt, chi2_grid,
-                               w_grid, rcfg, block=args.block)
+                               w_grid, rcfg, block=args.block,
+                               alpha_grid=parse_grid(args.alpha_grid))
     entry["measurement_only"] = meas
     entry["points"] = rows
     out["scenes"].append(entry)

@@ -85,6 +85,43 @@ def test_chi2_zero_is_measurement_only():
   np.testing.assert_allclose(np.asarray(Ps), np.asarray(Vs), atol=1e-6)
 
 
+def test_adaptive_inflation_off_is_identity_and_on_deflates_prior():
+  """alpha_max < 1 must be the exact stock recursion; with an
+  overconfident prior (W scaled down), adaptive inflation must pull the
+  posterior toward the measurement relative to the stock filter."""
+  cfg, params, images = _setup()
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = calibrate.precompute_series(params, cfg1, images)
+  chi2 = jnp.float32(1e9)  # isolate gain behavior from the gate
+  stock = calibrate.filter_from_series(cfg1, series, chi2,
+                                       jnp.float32(1.0))
+  off = calibrate.filter_from_series(cfg1, series, chi2,
+                                     jnp.float32(1.0), jnp.float32(0.0))
+  np.testing.assert_array_equal(np.asarray(stock[0]), np.asarray(off[0]))
+  np.testing.assert_array_equal(np.asarray(stock[1]), np.asarray(off[1]))
+  # crafted overconfident-prior regime: the measurement drifts +1/frame
+  # while the (zero-flow, tiny-W) prior insists nothing moves — the
+  # transfer failure mode in miniature. maha ≈ 3/(P⁻+V) ≫ 3 ⇒ α > 1.
+  T, h, w = 7, 6, 8
+  drift = jnp.arange(1, T, dtype=jnp.float32)[:, None, None, None]
+  crafted = {
+      "z0": jnp.zeros((h, w, 3)),
+      "V0": jnp.full((h, w, 1), 0.1),
+      "z": jnp.broadcast_to(drift, (T - 1, h, w, 3)),
+      "V": jnp.full((T - 1, h, w, 1), 0.1),
+      "flow": jnp.zeros((T - 1, h, w, 2)),
+      "W": jnp.full((T - 1, h, w, 1), 1e-3),
+  }
+  xs_over, _ = calibrate.filter_from_series(
+      cfg1, crafted, chi2, jnp.float32(1.0), jnp.float32(0.0))
+  xs_adapt, _ = calibrate.filter_from_series(
+      cfg1, crafted, chi2, jnp.float32(1.0), jnp.float32(100.0))
+  zs_crafted = jnp.concatenate([crafted["z0"][None], crafted["z"]])
+  d_over = float(jnp.mean(jnp.abs(xs_over[1:] - zs_crafted[1:])))
+  d_adapt = float(jnp.mean(jnp.abs(xs_adapt[1:] - zs_crafted[1:])))
+  assert d_adapt < 0.5 * d_over  # adaptation deflates the stuck prior
+
+
 def test_sweep_reuses_one_executable():
   """The whole point: no recompiles across grid points (traced knobs)."""
   cfg, params, images = _setup()

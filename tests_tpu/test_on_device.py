@@ -141,6 +141,164 @@ def test_full_size_long_window_bptt_remat_fits_and_runs():
   assert sum(norms) > 0
 
 
+def test_batched_fused_kernel_parity_and_perf():
+  """The vmapped fused kernel IS the batched/fleet serving hot path
+  (filter/sequence.py run_filter_batched) — round 2 only covered the
+  single-stream kernel on hardware. Parity + at-least-parity perf vs
+  the vmapped XLA composition at B=4 (VERDICT r2 item 5)."""
+  from kfnet_tpu.core import kalman, warp
+  from kfnet_tpu.kernels import fused_filter
+
+  B = 4
+  batches = [make_inputs(seed=s) for s in range(B)]
+  args = tuple(jnp.stack([b[i] for b in batches]) for i in range(6))
+
+  @jax.jit
+  def xla_step(x, P, flow, W, z, V):
+    def one(x, P, flow, W, z, V):
+      x_pr, P_pr, _ = warp.warp_state_cov(x, P, flow, W)
+      return kalman.kalman_update(x_pr, P_pr, z, V)
+    return jax.vmap(one)(x, P, flow, W, z, V)
+
+  pallas_step = jax.jit(jax.vmap(
+      lambda *a: fused_filter.fused_warp_kalman(*a, radius=4)))
+
+  x_ref, P_ref, c_ref = xla_step(*args)
+  x_k, P_k, c_k = pallas_step(*args)
+  np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref), atol=3e-5)
+  np.testing.assert_allclose(np.asarray(P_k), np.asarray(P_ref),
+                             rtol=3e-5, atol=1e-6)
+  np.testing.assert_array_equal(np.asarray(c_k), np.asarray(c_ref))
+
+  def bench(fn, reps=50, k=9):
+    out = fn(*args)
+    sync(out)
+    times = []
+    for _ in range(k):
+      t0 = time.perf_counter()
+      for _ in range(reps):
+        out = fn(*args)
+      sync(out)
+      times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times))
+
+  t_xla = bench(xla_step)
+  t_pl = bench(pallas_step)
+  t_xla = min(t_xla, bench(xla_step))
+  t_pl = min(t_pl, bench(pallas_step))
+  print(f"B=4 xla {t_xla*1e6:.1f}us vs pallas {t_pl*1e6:.1f}us")
+  assert t_pl <= 1.1 * t_xla, (t_pl, t_xla)
+
+
+def test_fleet_relocalizer_serving_tick():
+  """One FleetRelocalizer lifecycle on hardware at full size: first tick,
+  steady tick, and a mid-stream per-slot reset (session churn) — with
+  poses solved every tick (VERDICT r2 item 5: the multi-stream serving
+  story was CPU-parity-tested only)."""
+  from kfnet_tpu.eval.online import FleetRelocalizer
+  from kfnet_tpu.models import kfnet
+
+  B = 4
+  cfg = kfnet.KFNetConfig(use_pallas=True)
+  params = kfnet.init(jax.random.key(0), cfg, (480, 640, 3))
+  K = jnp.asarray([[585., 0, 319.5], [0, 585., 239.5], [0, 0, 1]],
+                  jnp.float32)
+  fleet = FleetRelocalizer(params, cfg, K, batch_size=B)
+  rng = np.random.default_rng(0)
+  ticks = rng.uniform(0, 1, (3, B, 480, 640, 3)).astype(np.float32)
+
+  poses0, info0 = fleet.process(ticks[0])
+  assert poses0.shape == (B, 4, 4)
+  assert np.allclose(info0["consistent_frac"], 0.0)  # first tick: fresh
+  poses1, info1 = fleet.process(ticks[1])
+  assert np.all(np.isfinite(poses1))
+  assert info1["consistent_frac"].shape == (B,)
+  # slot 2 resets mid-stream; its consistent_frac must read 0 by contract
+  poses2, info2 = fleet.process(ticks[2], reset=[False, False, True, False])
+  assert np.all(np.isfinite(poses2))
+  assert info2["consistent_frac"][2] == 0.0
+  assert np.all(info2["num_inliers"] >= 0)
+  # steady-state tick latency (post-compile): all B streams, pose included
+  t0 = time.perf_counter()
+  reps = 5
+  for _ in range(reps):
+    poses, _ = fleet.process(ticks[1])
+  dt = (time.perf_counter() - t0) / reps
+  print(f"fleet tick: {1e3*dt:.1f} ms for B={B} ({B/dt:.0f} fps aggregate)")
+  assert B / dt > 40  # loose floor: per-tick dispatch costs ~5-10ms here
+
+
+def test_streaming_with_pose_e2e_floor():
+  """Chunked streaming + per-chunk PnP (eval_sequence_streaming's shape)
+  on device-resident frames: the number a long-video user sees. Floor is
+  conservative vs the ~386 fps streaming / ~272 fps filter+pose batch
+  measurements (docs/DESIGN.md)."""
+  from kfnet_tpu.eval import eval_sequence
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+  from kfnet_tpu.pose import ransac
+
+  cfg = kfnet.KFNetConfig(use_pallas=True)
+  params = kfnet.init(jax.random.key(0), cfg, (480, 640, 3))
+  rng = np.random.default_rng(0)
+  T, chunk = 64, 32
+  imgs = jnp.asarray(rng.uniform(0, 1, (T, 480, 640, 3)).astype(np.float32))
+  frames = [imgs[i] for i in range(T)]  # device-resident source
+  K = jnp.asarray([[585., 0, 319.5], [0, 585., 239.5], [0, 0, 1]],
+                  jnp.float32)
+  solve = eval_sequence.make_pose_solver(
+      K, config=ransac.RansacConfig(solver="p3p"))
+
+  def stream_once():
+    n = 0
+    last = None
+    for xs, Ps in sequence.run_filter_chunked_arrays(
+        params, cfg, frames, chunk_size=chunk):
+      keys = jax.random.split(jax.random.fold_in(jax.random.key(1), n),
+                              xs.shape[0])
+      last = solve(xs, Ps, keys)["T_wc"]
+      n += xs.shape[0]
+    sync(last)
+    return n
+
+  stream_once()  # compile both chunk entries + solver
+  times = []
+  for _ in range(3):
+    t0 = time.perf_counter()
+    n = stream_once()
+    times.append(time.perf_counter() - t0)
+  fps = n / float(np.median(times))
+  print(f"streaming+pose: {fps:.1f} fps")
+  assert fps > 120, fps
+
+
+def test_batched_lockstep_small_res_floor():
+  """Serving at small resolution is where lockstep batching wins
+  (measured 1695 fps at 96x128 B=4 in round 2 — the chip starves at
+  B=1). Guard the regime stays >3x the B=1 full-size number."""
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.models import kfnet
+
+  B, T = 4, 32
+  cfg = kfnet.KFNetConfig(use_pallas=True)
+  params = kfnet.init(jax.random.key(0), cfg, (96, 128, 3))
+  rng = np.random.default_rng(0)
+  seqs = jnp.asarray(
+      rng.uniform(0, 1, (T, B, 96, 128, 3)).astype(np.float32))
+  runb = jax.jit(lambda p, im: sequence.run_filter_batched(p, cfg, im))
+  out = runb(params, seqs)
+  sync(out)
+  times = []
+  for _ in range(5):
+    t0 = time.perf_counter()
+    out = runb(params, seqs)
+    sync(out)
+    times.append(time.perf_counter() - t0)
+  fps = B * T / float(np.median(times))
+  print(f"batched lockstep 96x128 B=4: {fps:.0f} fps")
+  assert fps > 1000, fps
+
+
 def test_pose_solver_throughput_floor():
   """Regression guard for the r2 pose-solver rewrite (inverse-iteration
   DLT, polar/triad alignment): full RANSAC solve must stay under 3 ms per
