@@ -49,6 +49,10 @@ def main(argv=None):
                       help="eval-time process-noise temperature W <- s*W "
                            "(>1 deflates an overconfident OFlowNet on "
                            "scenes it never saw; see KFNetConfig.w_scale)")
+  parser.add_argument("--adaptive_alpha_max", type=float, default=None,
+                      help="innovation-adaptive prior inflation cap "
+                           "(scene-agnostic alternative to --w_scale; "
+                           "see KFNetConfig.adaptive_alpha_max)")
   parser.add_argument("--pnp_solver", default="dlt", choices=("dlt", "p3p"),
                       help="RANSAC minimal solver (p3p = 3-pt Grunert, "
                            "survives lower inlier ratios and is faster; "
@@ -93,6 +97,9 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg, chi2_threshold=args.chi2_threshold)
   if args.w_scale is not None:
     cfg = dataclasses.replace(cfg, w_scale=args.w_scale)
+  if args.adaptive_alpha_max is not None:
+    cfg = dataclasses.replace(cfg,
+                              adaptive_alpha_max=args.adaptive_alpha_max)
 
   from kfnet_tpu.data import registry
   adapter = registry.get(exp.dataset.name)

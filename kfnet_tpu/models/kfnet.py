@@ -43,6 +43,17 @@ class KFNetConfig:
   # without touching weights; fit per scene on that scene's TRAIN split
   # (tools/calibrate.py), never on test data.
   w_scale: float = 1.0
+  # Innovation-adaptive prior inflation (classic IAE / covariance-
+  # matching adaptive Kalman): per frame, the clipped-mean Mahalanobis
+  # statistic m̄ of the innovation under S = P⁻+V has expectation 3 (dof)
+  # when the filter is calibrated; m̄ > 3 ⇒ the prior is overconfident
+  # (the transfer failure mode), so P⁻ inflates by α = clip(m̄/3, 1,
+  # adaptive_alpha_max) before the gain. Scene-agnostic, no fitting.
+  # 0.0 disables. Uses the XLA composition even when use_pallas=True
+  # (α needs a global reduction between warp and update, which would
+  # break the fused kernel's single-pass model; the kernel's e2e edge is
+  # ~4%, correctness wins).
+  adaptive_alpha_max: float = 0.0
 
 
 def init(key: jax.Array, config: KFNetConfig,
@@ -101,7 +112,8 @@ def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
   # rematerializes the XLA form) would diverge.
   r = float(config.oflownet.search_radius)
   flow = jnp.clip(flow, -r, r)
-  if config.use_pallas:
+  adaptive = config.adaptive_alpha_max >= 1.0
+  if config.use_pallas and not adaptive:
     from kfnet_tpu.kernels import fused_filter
     x_post, P_post, consistent = fused_filter.fused_warp_kalman(
         x_prev, P_prev, flow, W, z, V,
@@ -110,6 +122,11 @@ def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
     return x_post, P_post, consistent, None
   x_pr, P_pr, _ = warp_lib.warp_state_cov(
       x_prev, P_prev, flow, W, invalid_cov=config.invalid_cov)
+  if adaptive:
+    maha = kalman.mahalanobis_sq(z - x_pr, P_pr, V)
+    m_bar = jnp.mean(jnp.minimum(maha, 25.0))
+    alpha = jnp.clip(m_bar / 3.0, 1.0, config.adaptive_alpha_max)
+    P_pr = alpha * P_pr
   x_post, P_post, consistent = kalman.kalman_update(
       x_pr, P_pr, z, V, threshold=config.chi2_threshold)
   return x_post, P_post, consistent, (x_pr, P_pr)

@@ -232,9 +232,11 @@ def main(argv=None):
     d = data[s.name]
     K = d["train"]["K"]
     gt = np.asarray(d["test"]["poses"])
+    d["test"].pop("depths", None)  # unused here; ~0.6 GB HBM at 480f
     imgs = d["test"]["images"]
     if args.stress > 0:
       imgs = protocol.stress_images(imgs, args.stress, s.seed + 5)
+      d["test"]["images"] = None  # only the stressed copy is needed
     entry = {"scene": s.name, "held_out": s.held_out,
              "dataset": s.dataset}
     if args.fit:

@@ -227,20 +227,32 @@ def stress_images(images, stress: float, seed: int):
   perfect and the filtered-vs-measurement delta is seed noise (round-2
   two-seed full-size finding); independent per-frame corruption is the
   regime the temporal filter exists for (paper §1), so this is the
-  discriminative variant of the protocol."""
+  discriminative variant of the protocol.
+
+  Device-native (jax PRNG): the original host-numpy version round-
+  tripped the full stream through the ~90 MB/s tunnel (~40 s and an
+  extra HBM copy per 480-frame full-size scene — it OOMed the seed-1
+  stress sweep)."""
+  import jax
   import jax.numpy as jnp
-  rng_s = np.random.default_rng(seed)
-  imgs = np.asarray(images, np.float32)
-  flicker = rng_s.uniform(-3 * stress, 3 * stress,
-                          (imgs.shape[0], 1, 1, 1)).astype(np.float32)
-  noise = rng_s.normal(0, stress, imgs.shape).astype(np.float32)
-  return jnp.asarray(np.clip(imgs + flicker + noise, 0.0, 1.0))
+
+  @jax.jit
+  def _stress(imgs):
+    kf, kn = jax.random.split(jax.random.key(seed))
+    T = imgs.shape[0]
+    flicker = jax.random.uniform(kf, (T, 1, 1, 1), jnp.float32,
+                                 -3 * stress, 3 * stress)
+    noise = jax.random.normal(kn, imgs.shape, jnp.float32) * stress
+    return jnp.clip(imgs.astype(jnp.float32) + flicker + noise, 0.0, 1.0)
+
+  return _stress(jnp.asarray(images))
 
 
 def evaluate_scenes(data, of, of_train_scenes, joint,
                     scenes=DEFAULT_SCENES, full_size=False, log=print,
                     stress=0.0, chi2_threshold=None, w_scale=None,
-                    per_scene_w_scale=None, bootstrap_block=24):
+                    per_scene_w_scale=None, bootstrap_block=24,
+                    adaptive_alpha_max=None):
   """Filtered vs measurement-only eval per scene, with PAIRED per-frame
   deltas + moving-block-bootstrap CIs (the decisive statistic — scene
   medians of short sequences are seed-noise-dominated; see eval/stats.py).
@@ -262,6 +274,8 @@ def evaluate_scenes(data, of, of_train_scenes, joint,
     ws = (per_scene_w_scale or {}).get(s.name, w_scale)
     if ws is not None:
       overrides["w_scale"] = float(ws)
+    if adaptive_alpha_max is not None:
+      overrides["adaptive_alpha_max"] = float(adaptive_alpha_max)
     if overrides:
       cfg = dataclasses.replace(cfg, **overrides)
     d = data[s.name]
@@ -299,6 +313,7 @@ def evaluate_scenes(data, of, of_train_scenes, joint,
         "coord_scale": joint[s.name][0].scoordnet.coord_scale,
         "chi2_threshold": float(cfg.chi2_threshold),
         "w_scale": float(cfg.w_scale),
+        "adaptive_alpha_max": float(cfg.adaptive_alpha_max),
         "median_translation_m": res_f.report["median_translation_m"],
         "median_rotation_deg": res_f.report["median_rotation_deg"],
         "accuracy_5cm_5deg": res_f.report["accuracy_5cm_5deg"],
@@ -322,7 +337,8 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  sc_steps=1200, of_steps=1000, joint_steps=200,
                  lr=2e-3, scenes=DEFAULT_SCENES, log=print,
                  full_size=False, work_dir=None, stress=0.0,
-                 chi2_threshold=None, w_scale=None):
+                 chi2_threshold=None, w_scale=None,
+                 adaptive_alpha_max=None):
   """Full protocol = prepare_stages (cached training) + evaluate_scenes.
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
@@ -338,7 +354,8 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
   return evaluate_scenes(
       data, of, of_train_scenes, joint, scenes=scenes,
       full_size=full_size, log=log, stress=stress,
-      chi2_threshold=chi2_threshold, w_scale=w_scale)
+      chi2_threshold=chi2_threshold, w_scale=w_scale,
+      adaptive_alpha_max=adaptive_alpha_max)
 
 
 def main(argv=None):
@@ -365,6 +382,9 @@ def main(argv=None):
                  help="eval-time process-noise temperature (W <- s*W); "
                       ">1 deflates an overconfident frozen OFlowNet on "
                       "unseen scenes (see KFNetConfig.w_scale)")
+  p.add_argument("--adaptive_alpha_max", type=float, default=None,
+                 help="innovation-adaptive prior inflation cap (scene-"
+                      "agnostic; see KFNetConfig.adaptive_alpha_max)")
   p.add_argument("--seed_offset", type=int, default=0,
                  help="offset every scene's seed (fresh geometry, "
                       "trajectories, and inits) — run the protocol a "
@@ -385,7 +405,8 @@ def main(argv=None):
             of_steps=args.of_steps, joint_steps=args.joint_steps,
             lr=args.learning_rate, work_dir=args.work_dir or None,
             stress=args.stress, chi2_threshold=args.chi2_threshold,
-            w_scale=args.w_scale)
+            w_scale=args.w_scale,
+            adaptive_alpha_max=args.adaptive_alpha_max)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)

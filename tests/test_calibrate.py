@@ -122,6 +122,23 @@ def test_adaptive_inflation_off_is_identity_and_on_deflates_prior():
   assert d_adapt < 0.5 * d_over  # adaptation deflates the stuck prior
 
 
+def test_model_adaptive_matches_series_recursion():
+  """KFNetConfig.adaptive_alpha_max (the product path, filter/sequence)
+  must equal the sweep tool's traced-alpha recursion."""
+  cfg = tc.tiny_kfnet(adaptive_alpha_max=8.0)
+  params = kfnet.init(jax.random.key(3), cfg, tc.IMG)
+  images = tc.random_images(6, seed=4)
+  xs_ref, Ps_ref, _ = sequence.run_filter(params, cfg, images)
+  cfg1 = dataclasses.replace(cfg, adaptive_alpha_max=0.0)
+  series = calibrate.precompute_series(params, cfg1, images)
+  xs, Ps = calibrate.filter_from_series(
+      cfg1, series, jnp.float32(cfg.chi2_threshold), jnp.float32(1.0),
+      jnp.float32(8.0))
+  np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), atol=2e-5)
+  np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref),
+                             rtol=2e-5, atol=1e-7)
+
+
 def test_sweep_reuses_one_executable():
   """The whole point: no recompiles across grid points (traced knobs)."""
   cfg, params, images = _setup()
