@@ -1,0 +1,88 @@
+"""Loading shipped pretrained exports (SURVEY.md §2.2 #13: the reference
+publishes per-scene SCoordNet / per-dataset OFlowNet / joint KFNet
+checkpoints; this repo ships a protocol-trained synthetic-scene set under
+``artifacts/`` and this module is the one-call loader):
+
+    from kfnet_tpu import pretrained
+    cfg, params = pretrained.load("artifacts/pretrained_synthetic")
+    xs, Ps, _ = filter.sequence.run_filter(params, cfg, images)
+
+Exports are orbax param trees plus a self-describing ``meta.json``
+(scene, seed, resolution, coordinate normalization) written by
+``tools/protocol.py``; nothing here regenerates training data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from kfnet_tpu import configs
+from kfnet_tpu.models import kfnet, oflownet, scoordnet
+from kfnet_tpu.utils import checkpoint as ckpt_lib
+
+
+def _scoordnet_config(meta) -> scoordnet.SCoordNetConfig:
+  fn = (configs.full_scoordnet if meta.get("full_size")
+        else configs.small_scoordnet)
+  return fn(tuple(meta["coord_offset"]), float(meta["coord_scale"]))
+
+
+def _oflownet_config(meta) -> oflownet.OFlowNetConfig:
+  return (configs.full_oflownet() if meta.get("full_size")
+          else configs.small_oflownet())
+
+
+def load(root: str, scene: str = "sceneA"):
+  """Load a (KFNetConfig, params) pair from a protocol export directory.
+
+  Prefers the joint fine-tuned ``stage3_<scene>`` export; otherwise
+  composes ``stage1_<scene>`` (SCoordNet) with the ``stage2_*`` OFlowNet
+  whose training-scene list covers the scene's dataset.
+  """
+  stage3 = os.path.join(root, f"stage3_{scene}")
+  if os.path.isdir(os.path.join(stage3, "params")):
+    meta = ckpt_lib.load_meta(stage3)
+    if not meta or "coord_scale" not in meta:
+      raise ValueError(f"{stage3}: export has no self-describing meta "
+                       "(regenerate with a current tools/protocol.py)")
+    cfg = kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta),
+                            oflownet=_oflownet_config(meta))
+    shape = (int(meta["height"]), int(meta["width"]), 3)
+    template = kfnet.init(jax.random.key(0), cfg, shape)
+    return cfg, ckpt_lib.load_params(stage3, template=template)
+  return load_stage12(root, scene)
+
+
+def load_stage12(root: str, scene: str = "sceneA"):
+  """Compose ``stage1_<scene>`` (SCoordNet) with the matching
+  ``stage2_*`` OFlowNet — the pre-fine-tune pair (also the fallback when
+  no joint export exists)."""
+  stage1 = os.path.join(root, f"stage1_{scene}")
+  if not os.path.isdir(os.path.join(stage1, "params")):
+    raise FileNotFoundError(
+        f"no stage3_{scene} or stage1_{scene} export under {root!r}")
+  meta1 = ckpt_lib.load_meta(stage1)
+  if not meta1 or "coord_scale" not in meta1:
+    raise ValueError(f"{stage1}: export has no self-describing meta")
+  stage2 = None
+  for name in sorted(os.listdir(root)):
+    if name.startswith("stage2_") and os.path.isdir(
+        os.path.join(root, name, "params")):
+      stage2 = os.path.join(root, name)
+      m2 = ckpt_lib.load_meta(stage2) or {}
+      if scene in m2.get("scenes", []):
+        break  # the OFlowNet actually trained on this scene's dataset
+  if stage2 is None:
+    raise FileNotFoundError(f"no stage2_* export under {root!r}")
+  cfg = kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta1),
+                          oflownet=_oflownet_config(meta1))
+  shape = (int(meta1["height"]), int(meta1["width"]), 3)
+  template = kfnet.init(jax.random.key(0), cfg, shape)
+  return cfg, {
+      "scoordnet": ckpt_lib.load_params(stage1,
+                                        template=template["scoordnet"]),
+      "oflownet": ckpt_lib.load_params(stage2,
+                                       template=template["oflownet"]),
+  }

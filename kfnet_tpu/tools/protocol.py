@@ -85,7 +85,8 @@ def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
 from kfnet_tpu import configs as _presets  # noqa: E402
 
 
-def _cached_stage(work_dir, name, template, fit_fn, strict=False):
+def _cached_stage(work_dir, name, template, fit_fn, strict=False,
+                  meta=None):
   """Stage-level resume: if ``work_dir/name`` holds an export, restore it
   instead of re-training (long full-size runs survive host/tunnel crashes
   — the orbax analog of the trainer's resume-by-step, at protocol
@@ -108,8 +109,11 @@ def _cached_stage(work_dir, name, template, fit_fn, strict=False):
   params, m = fit_fn()
   loss = float(m["loss"])
   if work_dir:
+    # meta makes the export SELF-DESCRIBING (a fresh clone can rebuild
+    # the exact net config without regenerating scene data) — the
+    # shipped-pretrained-artifact contract, SURVEY.md §2.2 #13.
     ckpt_lib.export_params(os.path.join(work_dir, name), params,
-                           meta={"final_loss": loss})
+                           meta={"final_loss": loss, **(meta or {})})
   return params, loss
 
 
@@ -154,7 +158,11 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
         lambda: (lambda st, m: (st.params, m))(*fit_on_device(
             loss_fn, params, batch, sc_steps, lr,
             batch=sc_batch, chunk=sc_chunk,
-            tag=f"stage1[{s.name}]", log=log)), strict=strict_cache)
+            tag=f"stage1[{s.name}]", log=log)), strict=strict_cache,
+        meta={"scene": s.name, "seed": s.seed, "height": H, "width": W,
+              "full_size": bool(full_size),
+              "coord_offset": [float(x) for x in mean],
+              "coord_scale": float(std)})
     sc[s.name] = (cfg, trained)
 
   # ---- stage 2: one OFlowNet per dataset, held-out scenes excluded ------
@@ -192,7 +200,9 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
 
     trained, final_loss = _cached_stage(
         work_dir, f"stage2_{dataset}", params, fit_stage2,
-        strict=strict_cache)
+        strict=strict_cache,
+        meta={"dataset": dataset, "scenes": of_train_scenes[dataset],
+              "height": H, "width": W, "full_size": bool(full_size)})
     of[dataset] = (cfg, trained, final_loss)
 
   # ---- stage 3: joint fine-tune per training scene ----------------------
@@ -214,8 +224,13 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
             chunk=joint_chunk, tag=f"stage3[{name}]", seed=2, log=log)
         return st.params, m
 
-      params, _ = _cached_stage(work_dir, f"stage3_{s.name}", params,
-                                fit_stage3, strict=strict_cache)
+      params, _ = _cached_stage(
+          work_dir, f"stage3_{s.name}", params, fit_stage3,
+          strict=strict_cache,
+          meta={"scene": s.name, "seed": s.seed, "height": H, "width": W,
+                "full_size": bool(full_size),
+                "coord_offset": list(cfg.scoordnet.coord_offset),
+                "coord_scale": float(cfg.scoordnet.coord_scale)})
     joint[s.name] = (cfg, params)
 
   return data, of, of_train_scenes, joint
@@ -390,6 +405,10 @@ def main(argv=None):
                       "trajectories, and inits) — run the protocol a "
                       "second time to separate real effects from "
                       "single-seed noise")
+  p.add_argument("--scenes", default="",
+                 help="comma-separated subset of the default scene set "
+                      "(e.g. the shipped-artifact build trains sceneA "
+                      "only)")
   p.add_argument("--fast", action="store_true",
                  help="miniature run (CI-slow scale)")
   p.add_argument("--work_dir", default="",
@@ -415,10 +434,15 @@ def main(argv=None):
               sc_steps=max(args.sc_steps, 3000),
               of_steps=max(args.of_steps, 2000),
               joint_steps=400 if args.joint_steps == 200 else args.joint_steps)
+  scenes = DEFAULT_SCENES
   if args.seed_offset:
-    kw["scenes"] = tuple(
-        dataclasses.replace(s, seed=s.seed + args.seed_offset)
-        for s in DEFAULT_SCENES)
+    scenes = tuple(dataclasses.replace(s, seed=s.seed + args.seed_offset)
+                   for s in scenes)
+  if args.scenes:
+    keep = set(args.scenes.split(","))
+    scenes = tuple(s for s in scenes if s.name in keep)
+  if scenes != DEFAULT_SCENES:
+    kw["scenes"] = scenes
   reports = run_protocol(**kw)
   if args.report:
     with open(args.report, "w") as f:
