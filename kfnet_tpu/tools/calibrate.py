@@ -68,10 +68,11 @@ def precompute_series(params, config: kfnet.KFNetConfig,
   return {"z0": z0, "V0": V0, **rest}
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "adaptive_stat"))
 def filter_from_series(config: kfnet.KFNetConfig, series,
                        chi2: jnp.ndarray, w_scale: jnp.ndarray,
-                       alpha_max: jnp.ndarray | float = 0.0):
+                       alpha_max: jnp.ndarray | float = 0.0,
+                       adaptive_stat: str = "s"):
   """The Kalman recursion alone, with TRACED calibration scalars.
 
   Numerically identical to filter/sequence.run_filter at matching static
@@ -85,6 +86,14 @@ def filter_from_series(config: kfnet.KFNetConfig, series,
   is overconfident (the held-out transfer failure mode), so P⁻ inflates
   by α = clip(m̄/3, 1, alpha_max) before the gain. Scene-agnostic, no
   per-scene fitting. alpha_max < 1 disables (α ≡ 1).
+
+  adaptive_stat picks the statistic: "s" = innovation vs S = P⁻+V (the
+  calibrated form above). "v" = V-weighted: per-pixel ‖inn‖²/V
+  normalized by its own calibrated expectation 3·mean(S/V) — identical
+  expectation 1-ish under calibration, but the V-weighting emphasizes
+  CONFIDENT-measurement pixels, where prior drag does the most PnP
+  damage while staying inside the S band (the clean-stream failure the
+  "s" statistic provably cannot see).
   """
   r = float(config.oflownet.search_radius)
   alpha_max = jnp.float32(alpha_max)
@@ -94,12 +103,19 @@ def filter_from_series(config: kfnet.KFNetConfig, series,
     flow = jnp.clip(inp["flow"], -r, r)
     x_pr, P_pr, _ = warp_lib.warp_state_cov(
         x, P, flow, inp["W"] * w_scale, invalid_cov=config.invalid_cov)
-    maha = kalman.mahalanobis_sq(inp["z"] - x_pr, P_pr, inp["V"])
-    # clip per-pixel maha: χ²-reset-grade outliers (prior plainly wrong)
-    # must not dominate the inflation estimate for every other pixel
-    m_bar = jnp.mean(jnp.minimum(maha, 25.0))
+    inn2 = jnp.sum(jnp.square(inp["z"] - x_pr), axis=-1, keepdims=True)
+    S = P_pr + inp["V"]
+    if adaptive_stat == "s":
+      # clip per-pixel maha: χ²-reset-grade outliers (prior plainly
+      # wrong) must not dominate the inflation estimate
+      m_bar = jnp.mean(jnp.minimum(inn2 / S, 25.0))
+      ratio = m_bar / 3.0
+    else:
+      mv = jnp.mean(jnp.minimum(inn2 / inp["V"], 250.0))
+      expect = 3.0 * jnp.mean(jnp.minimum(S / inp["V"], 250.0 / 3.0))
+      ratio = mv / expect
     alpha = jnp.where(alpha_max >= 1.0,
-                      jnp.clip(m_bar / 3.0, 1.0, alpha_max), 1.0)
+                      jnp.clip(ratio, 1.0, alpha_max), 1.0)
     x1, P1, _ = kalman.kalman_update(x_pr, alpha * P_pr, inp["z"],
                                      inp["V"], threshold=chi2)
     return (x1, P1), (x1, P1)
@@ -124,7 +140,8 @@ def _pose_errors(solver, xs, Ps, keys, gt):
 
 
 def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
-                rcfg, block=24, rng_seed=0, alpha_grid=(0.0,)):
+                rcfg, block=24, rng_seed=0, alpha_grid=(0.0,),
+                adaptive_stat="s"):
   """Grid-sweep one scene's cached models. Returns (rows, meas_row)."""
   cfg1 = dataclasses.replace(cfg, w_scale=1.0)
   series = precompute_series(params, cfg1, images)
@@ -139,10 +156,11 @@ def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
     for ws in w_grid:
       for am in alpha_grid:
         xs, Ps = filter_from_series(cfg1, series, jnp.float32(chi2),
-                                    jnp.float32(ws), jnp.float32(am))
+                                    jnp.float32(ws), jnp.float32(am),
+                                    adaptive_stat=adaptive_stat)
         t_f, r_f = _pose_errors(solver, xs, Ps, keys, gt)
         row = {"chi2_threshold": float(chi2), "w_scale": float(ws),
-               "alpha_max": float(am),
+               "alpha_max": float(am), "adaptive_stat": adaptive_stat,
                "median_translation_m": float(np.median(t_f)),
                "median_rotation_deg": float(np.median(r_f))}
         row.update(stats.paired_delta_report(
@@ -194,6 +212,8 @@ def main(argv=None):
   p.add_argument("--alpha_grid", default="0",
                  help="innovation-adaptive inflation caps to cross with "
                       "the grid (0 = off; see filter_from_series)")
+  p.add_argument("--adaptive_stat", default="s", choices=("s", "v"),
+                 help="adaptation statistic (see filter_from_series)")
   p.add_argument("--fit", action="store_true",
                  help="fit per-scene w_scale on TRAIN sequences, then "
                       "evaluate the test stream at the fitted value")
@@ -258,7 +278,8 @@ def main(argv=None):
     else:
       rows, meas = sweep_scene(params, cfg, imgs, K, gt, chi2_grid,
                                w_grid, rcfg, block=args.block,
-                               alpha_grid=parse_grid(args.alpha_grid))
+                               alpha_grid=parse_grid(args.alpha_grid),
+                               adaptive_stat=args.adaptive_stat)
     entry["measurement_only"] = meas
     entry["points"] = rows
     out["scenes"].append(entry)
