@@ -1,0 +1,133 @@
+"""Root-cause diagnostic for the held-out clean-stream filtering harm.
+
+Round-3 sweeps established: on clean test streams the filtered pose can
+be WORSE than measurement-only on held-out scenes even though the
+innovation statistics are fully consistent (mean Mahalanobis ≤ 3 — the
+adaptive-S sweep never fires there). This tool pins WHY, per scene:
+
+  1. coordinate-space error (the field the filter actually optimizes)
+     for measurement vs filtered — if the filter improves or holds
+     coordinate error while pose error worsens, the harm is not a
+     mis-weighted average but a STRUCTURE change;
+  2. spatial autocorrelation of the coordinate residual — warped priors
+     carry smooth, spatially-correlated errors, while measurement errors
+     are close to pixel-iid. PnP-RANSAC tolerates iid scatter far better
+     than a correlated bias field of the same magnitude;
+  3. RANSAC inlier counts per mode (the solver's own view of map
+     quality).
+
+    python -m kfnet_tpu.tools.diagnose --work_dir /tmp/protocol_full \
+        --scene heldout --report docs/DIAGNOSE_heldout_s1.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kfnet_tpu.eval import eval_sequence
+from kfnet_tpu.tools import calibrate, protocol
+
+
+def residual_stats(coords, gt_coords, valid):
+  """Per-sequence coordinate residual: median norm + lag-1 spatial
+  autocorrelation of the residual field (mean over frames/channels)."""
+  e = np.asarray(coords, np.float64) - np.asarray(gt_coords, np.float64)
+  v = np.asarray(valid, bool)
+  norms = np.linalg.norm(e, axis=-1)[v]
+  # lag-1 horizontal autocorrelation of each frame's residual field,
+  # valid-masked, averaged over frames and xyz channels
+  cors = []
+  for t in range(e.shape[0]):
+    for c in range(3):
+      a = e[t, :, :-1, c][v[t, :, :-1] & v[t, :, 1:]]
+      b = e[t, :, 1:, c][v[t, :, :-1] & v[t, :, 1:]]
+      if a.size > 100 and a.std() > 0 and b.std() > 0:
+        cors.append(np.corrcoef(a, b)[0, 1])
+  return {
+      "median_coord_err_m": float(np.median(norms)) if norms.size else None,
+      "mean_coord_err_m": float(norms.mean()) if norms.size else None,
+      "spatial_autocorr_lag1": float(np.mean(cors)) if cors else None,
+  }
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument("--work_dir", required=True)
+  p.add_argument("--scene", default="heldout")
+  p.add_argument("--seed_offset", type=int, default=0)
+  p.add_argument("--full_size", action="store_true")
+  p.add_argument("--test_frames", type=int, default=480)
+  p.add_argument("--train_frames", type=int, default=48)
+  p.add_argument("--height", type=int, default=96)
+  p.add_argument("--width", type=int, default=128)
+  p.add_argument("--stress", type=float, default=0.0)
+  p.add_argument("--report", default="")
+  args = p.parse_args(argv)
+
+  kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
+            test_frames=args.test_frames, work_dir=args.work_dir)
+  if args.full_size:
+    kw.update(H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000,
+              of_steps=2000, joint_steps=400)
+  scenes = protocol.DEFAULT_SCENES
+  if args.seed_offset:
+    scenes = tuple(dataclasses.replace(s, seed=s.seed + args.seed_offset)
+                   for s in scenes)
+  scenes = tuple(s for s in scenes if s.name == args.scene)
+  data, of, _, joint = protocol.prepare_stages(
+      scenes=scenes, strict_cache=True, **kw)
+  s = scenes[0]
+  cfg, params = joint[s.name]
+  d = data[s.name]
+  gt_poses = np.asarray(d["test"]["poses"])
+  gt_coords = np.asarray(d["test_coords"])
+  gt_valid = np.asarray(d["test_valid"])
+  imgs = d["test"]["images"]
+  if args.stress > 0:
+    imgs = protocol.stress_images(imgs, args.stress, s.seed + 5)
+
+  cfg1 = dataclasses.replace(cfg, w_scale=1.0)
+  series = calibrate.precompute_series(params, cfg1, imgs)
+  rcfg = protocol._presets.synthetic_ransac(args.full_size)
+  solver = eval_sequence.make_pose_solver(d["train"]["K"], config=rcfg)
+  keys = jax.random.split(jax.random.key(0), imgs.shape[0])
+
+  def mode_report(name, xs, Ps):
+    out = solver(xs, Ps, keys)
+    from kfnet_tpu.pose import metrics as pose_metrics
+    t, r = pose_metrics.pose_errors(np.asarray(out["T_wc"]), gt_poses)
+    rep = {"mode": name,
+           "median_translation_m": float(np.median(t)),
+           "mean_translation_m": float(t.mean()),
+           "median_rotation_deg": float(np.median(r)),
+           "mean_num_inliers": float(np.mean(np.asarray(out["num_inliers"]))),
+           "mean_inlier_ratio": float(np.mean(np.asarray(out["inlier_ratio"]))),
+           **residual_stats(xs, gt_coords, gt_valid)}
+    print(json.dumps(rep), flush=True)
+    return rep
+
+  zs, Vs = calibrate.measurement_maps(series)
+  rows = [mode_report("measurement_only", zs, Vs)]
+  for tag, chi2, w in (("filtered_default", cfg.chi2_threshold, 1.0),
+                       ("filtered_2.37_w8", 2.37, 8.0),
+                       ("filtered_w64", 1.21, 64.0)):
+    xs, Ps = calibrate.filter_from_series(
+        cfg1, series, jnp.float32(chi2), jnp.float32(w))
+    rows.append(mode_report(tag, xs, Ps))
+
+  out = {"scene": s.name, "stress": args.stress,
+         "test_frames": args.test_frames, "modes": rows}
+  if args.report:
+    with open(args.report, "w") as f:
+      json.dump(out, f, indent=2)
+  return out
+
+
+if __name__ == "__main__":
+  main()

@@ -60,16 +60,21 @@ DEFAULT_SCENES = (
 )
 
 
-def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames):
+def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames,
+                eval_traj_offset=0):
   train = synthetic.make_sequence(train_frames, height=H, width=W,
                                   seed=spec.seed, scale=spec.scale,
                                   traj_seed=spec.seed + 1)
   # Test duration scales with length so per-frame motion stays constant:
   # a longer eval sequence (for statistical power) must not shrink
   # inter-frame flow, or the filtering task gets easier as T grows.
+  # eval_traj_offset draws a DIFFERENT held-out camera trajectory over
+  # the same scene — the final validation of a calibration chosen on the
+  # default test streams must run out-of-sample (fresh trajectories),
+  # or the report would grade the choice on the data that made it.
   test = synthetic.make_sequence(test_frames, height=H, width=W,
                                  seed=spec.seed, scale=spec.scale,
-                                 traj_seed=spec.seed + 99,
+                                 traj_seed=spec.seed + 99 + eval_traj_offset,
                                  duration=test_frames / float(train_frames))
   max_depth = 10.0 * spec.scale
   lab = jax.vmap(lambda d, T: labels.generate(
@@ -120,7 +125,8 @@ def _cached_stage(work_dir, name, template, fit_fn, strict=False,
 def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
                    sc_steps=1200, of_steps=1000, joint_steps=200,
                    lr=2e-3, scenes=DEFAULT_SCENES, log=print,
-                   full_size=False, work_dir=None, strict_cache=False):
+                   full_size=False, work_dir=None, strict_cache=False,
+                   eval_traj_offset=0):
   """Stages 1–3 of the protocol (training; cached per stage in work_dir).
 
   Returns (data, of, of_train_scenes, joint): per-scene rendered data,
@@ -131,7 +137,8 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
   callers pass a SINGLE scene while stage 2/3 load per-dataset caches
   trained on the full scene set — training pair data is only assembled
   when a stage actually trains)."""
-  data = {s.name: _scene_data(s, H, W, train_frames, test_frames)
+  data = {s.name: _scene_data(s, H, W, train_frames, test_frames,
+                              eval_traj_offset=eval_traj_offset)
           for s in scenes}
   sc_cfg_fn = (_presets.full_scoordnet if full_size
                else _presets.small_scoordnet)
@@ -353,7 +360,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  lr=2e-3, scenes=DEFAULT_SCENES, log=print,
                  full_size=False, work_dir=None, stress=0.0,
                  chi2_threshold=None, w_scale=None,
-                 adaptive_alpha_max=None):
+                 adaptive_alpha_max=None, eval_traj_offset=0):
   """Full protocol = prepare_stages (cached training) + evaluate_scenes.
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
@@ -365,7 +372,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
       H=H, W=W, train_frames=train_frames, test_frames=test_frames,
       sc_steps=sc_steps, of_steps=of_steps, joint_steps=joint_steps,
       lr=lr, scenes=scenes, log=log, full_size=full_size,
-      work_dir=work_dir)
+      work_dir=work_dir, eval_traj_offset=eval_traj_offset)
   return evaluate_scenes(
       data, of, of_train_scenes, joint, scenes=scenes,
       full_size=full_size, log=log, stress=stress,
@@ -400,6 +407,11 @@ def main(argv=None):
   p.add_argument("--adaptive_alpha_max", type=float, default=None,
                  help="innovation-adaptive prior inflation cap (scene-"
                       "agnostic; see KFNetConfig.adaptive_alpha_max)")
+  p.add_argument("--eval_traj_offset", type=int, default=0,
+                 help="offset the TEST trajectory seed only (fresh "
+                      "out-of-sample camera path over the same scenes "
+                      "and cached stages — use for final validation of "
+                      "calibration chosen on the default streams)")
   p.add_argument("--seed_offset", type=int, default=0,
                  help="offset every scene's seed (fresh geometry, "
                       "trajectories, and inits) — run the protocol a "
@@ -425,7 +437,8 @@ def main(argv=None):
             lr=args.learning_rate, work_dir=args.work_dir or None,
             stress=args.stress, chi2_threshold=args.chi2_threshold,
             w_scale=args.w_scale,
-            adaptive_alpha_max=args.adaptive_alpha_max)
+            adaptive_alpha_max=args.adaptive_alpha_max,
+            eval_traj_offset=args.eval_traj_offset)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)
