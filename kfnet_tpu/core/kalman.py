@@ -19,8 +19,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # chi-square(3 dof) upper-tail critical values for the consistency test.
-CHI2_3DOF_P05 = 7.814728  # p = 0.05
+CHI2_3DOF_P05 = 7.814728  # p = 0.05 (the paper's gate)
 CHI2_3DOF_P01 = 11.344867  # p = 0.01
+CHI2_3DOF_P50 = 2.365974  # p = 0.50 (median) — the calibrated serving
+# gate: across 24 scene-conditions (2 seeds x clean/stressed x 6 scenes,
+# 480 paired frames each) the stricter gate with w_scale=16 turned every
+# catastrophic clean-stream filtering harm into a win or a CI-neutral
+# delta while keeping all stressed/outdoor wins (docs/CALIBRATION.md).
 
 
 def kalman_gain(P_prior: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:

@@ -21,9 +21,21 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from kfnet_tpu.core import warp as warp_lib
+from kfnet_tpu.core import kalman, warp as warp_lib
 from kfnet_tpu.losses import nll
 from kfnet_tpu.models import kfnet, oflownet, scoordnet
+
+
+def _training_dynamics(config: kfnet.KFNetConfig) -> kfnet.KFNetConfig:
+  """Joint fine-tuning ALWAYS trains the raw paper filter dynamics
+  (χ² p=0.05 gate, no W temperature, no adaptation): the calibrated
+  serving defaults in KFNetConfig are an eval-side reweighting validated
+  on models trained exactly this way (docs/CALIBRATION.md) — training
+  through an inflated prior would silently change what stage 3 learns
+  and invalidate that evidence."""
+  return dataclasses.replace(
+      config, chi2_threshold=kalman.CHI2_3DOF_P05, w_scale=1.0,
+      adaptive_alpha_max=0.0)
 
 
 def scoordnet_objective(config: scoordnet.SCoordNetConfig):
@@ -114,6 +126,8 @@ def kfnet_window_objective(config: kfnet.KFNetConfig,
 
   batch: images (B, T, H, W, 3), coords (B, T, h, w, 3), valid (B, T, h, w).
   """
+  config = _training_dynamics(config)
+
   def loss_fn(params, batch):
     def single(images, coords_gt, valid):
       x0, P0, feat0 = kfnet.first_step(params, config, images[0])
@@ -154,6 +168,7 @@ def kfnet_objective(config: kfnet.KFNetConfig,
   Uses the XLA (differentiable) path — config.use_pallas must be False.
   """
   assert not config.use_pallas, "joint training needs the differentiable path"
+  config = _training_dynamics(config)
 
   def loss_fn(params, batch):
     def single(img_prev, img_cur, coords_gt, valid):

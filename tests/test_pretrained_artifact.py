@@ -1,0 +1,66 @@
+"""The shipped pretrained artifact (SURVEY.md §2.2 #13): a fresh clone
+must be able to load trained weights and relocalize WITHOUT running any
+training — ``kfnet_tpu.pretrained.load`` + the checked-in
+``artifacts/pretrained_synthetic`` exports."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+ARTIFACT_ROOT = os.path.join(os.path.dirname(__file__), os.pardir,
+                             "artifacts", "pretrained_synthetic")
+
+
+def test_artifact_is_shipped():
+  """The artifact directory is part of the repo, not an optional mount."""
+  assert os.path.isdir(ARTIFACT_ROOT), (
+      "artifacts/pretrained_synthetic missing — regenerate with "
+      "tools/protocol.py --scenes sceneA --work_dir artifacts/"
+      "pretrained_synthetic (see artifacts/README.md)")
+
+
+@pytest.mark.slow
+def test_load_and_relocalize_out_of_the_box():
+  from kfnet_tpu import pretrained
+  from kfnet_tpu.data import synthetic
+  from kfnet_tpu.eval import eval_sequence
+  from kfnet_tpu.pose import ransac
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+
+  cfg, params = pretrained.load(ARTIFACT_ROOT, scene="sceneA")
+  meta = ckpt_lib.load_meta(os.path.join(ARTIFACT_ROOT, "stage3_sceneA"))
+  H, W = int(meta["height"]), int(meta["width"])
+  # sceneA's held-out test trajectory (DEFAULT_SCENES: seed 0, test
+  # traj_seed 99), shortened at constant per-frame motion
+  T = 16
+  data = synthetic.make_sequence(T, height=H, width=W, seed=0,
+                                 traj_seed=99, duration=T / 48.0)
+  res = eval_sequence.evaluate_sequence(
+      params, cfg, data["images"], data["K"],
+      gt_poses=np.asarray(data["poses"]), scene="sceneA",
+      ransac_config=ransac.RansacConfig(num_hypotheses=256, top_k=512),
+      timing_reps=1)
+  # loose bounds: the artifact is small-scale (96x128 reduced-width nets,
+  # protocol-report medians ~0.16 m / ~1.5 deg); this guards "the weights
+  # actually load and localize", not peak accuracy
+  assert res.report["median_translation_m"] < 0.5, res.report
+  assert res.report["median_rotation_deg"] < 8.0, res.report
+
+
+@pytest.mark.slow
+def test_stage1_plus_stage2_compose_without_stage3():
+  """The loader's fallback path: measurement net + frozen OFlowNet."""
+  from kfnet_tpu import pretrained
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.data import synthetic
+
+  cfg, params = pretrained.load_stage12(ARTIFACT_ROOT, scene="sceneA")
+  data = synthetic.make_sequence(4, height=96, width=128, seed=0,
+                                 traj_seed=99, duration=4 / 48.0)
+  xs, Ps, _ = jax.jit(
+      lambda p, im: sequence.run_filter(p, cfg, im),
+      static_argnums=())(params, data["images"])
+  assert np.all(np.isfinite(np.asarray(xs)))
+  assert np.all(np.asarray(Ps) > 0)
