@@ -67,7 +67,11 @@ def test_full_filter_spatially_sharded_matches_single_device(mesh):
   assert all(s.data.shape[2] == 2 for s in xs.addressable_shards)
 
   np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), atol=2e-5)
-  np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref), atol=2e-5)
+  # rtol, not atol: P magnitudes scale with the w_scale temperature (the
+  # calibrated default multiplies W by 16), so a fixed absolute bar
+  # tightens artificially; compile-order variance is relative (~1e-5)
+  np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref),
+                             rtol=3e-5, atol=1e-6)
 
 
 def test_spatial_filter_pallas_config_falls_back(mesh):
