@@ -88,9 +88,12 @@ def main(argv=None):
   gt_poses = np.asarray(d["test"]["poses"])
   gt_coords = np.asarray(d["test_coords"])
   gt_valid = np.asarray(d["test_valid"])
+  d["test"].pop("depths", None)  # labels already generated; ~0.6 GB
+  d["train"]["images"] = None    # only K/poses of train are used here
   imgs = d["test"]["images"]
   if args.stress > 0:
     imgs = protocol.stress_images(imgs, args.stress, s.seed + 5)
+    d["test"]["images"] = None   # keep only the stressed copy in HBM
 
   cfg1 = dataclasses.replace(cfg, w_scale=1.0)
   series = calibrate.precompute_series(params, cfg1, imgs)
