@@ -360,24 +360,42 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  lr=2e-3, scenes=DEFAULT_SCENES, log=print,
                  full_size=False, work_dir=None, stress=0.0,
                  chi2_threshold=None, w_scale=None,
-                 adaptive_alpha_max=None, eval_traj_offset=0):
+                 adaptive_alpha_max=None, eval_traj_offset=0,
+                 eval_only=False):
   """Full protocol = prepare_stages (cached training) + evaluate_scenes.
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
   OFlowNet (pair with H, W = 480, 640 and demo --full_size hyperparams).
   work_dir enables per-stage checkpointing (crash → rerun skips finished
   stages; an eval-only re-run with new test_frames/stress/calibration
-  settings reuses all training)."""
-  data, of, of_train_scenes, joint = prepare_stages(
-      H=H, W=W, train_frames=train_frames, test_frames=test_frames,
-      sc_steps=sc_steps, of_steps=of_steps, joint_steps=joint_steps,
-      lr=lr, scenes=scenes, log=log, full_size=full_size,
-      work_dir=work_dir, eval_traj_offset=eval_traj_offset)
-  return evaluate_scenes(
-      data, of, of_train_scenes, joint, scenes=scenes,
-      full_size=full_size, log=log, stress=stress,
-      chi2_threshold=chi2_threshold, w_scale=w_scale,
-      adaptive_alpha_max=adaptive_alpha_max)
+  settings reuses all training).
+
+  eval_only=True requires every stage cached (strict) and processes ONE
+  scene at a time, freeing it before the next: a 480-frame full-size
+  test render is ~3 GB HBM per scene, so the all-scenes-resident path
+  cannot run the statistical-power evals."""
+  common = dict(H=H, W=W, train_frames=train_frames,
+                test_frames=test_frames, sc_steps=sc_steps,
+                of_steps=of_steps, joint_steps=joint_steps, lr=lr,
+                log=log, full_size=full_size, work_dir=work_dir,
+                eval_traj_offset=eval_traj_offset)
+  eval_kw = dict(full_size=full_size, log=log, stress=stress,
+                 chi2_threshold=chi2_threshold, w_scale=w_scale,
+                 adaptive_alpha_max=adaptive_alpha_max)
+  if eval_only:
+    reports = []
+    for s in scenes:
+      data, of, of_train_scenes, joint = prepare_stages(
+          scenes=(s,), strict_cache=True, **common)
+      data[s.name]["test"].pop("depths", None)  # labels already built
+      reports += evaluate_scenes(data, of, of_train_scenes, joint,
+                                 scenes=(s,), **eval_kw)
+      del data, of, joint
+    return reports
+  data, of, of_train_scenes, joint = prepare_stages(scenes=scenes,
+                                                    **common)
+  return evaluate_scenes(data, of, of_train_scenes, joint, scenes=scenes,
+                         **eval_kw)
 
 
 def main(argv=None):
@@ -426,6 +444,10 @@ def main(argv=None):
   p.add_argument("--work_dir", default="",
                  help="per-stage checkpoint dir: a crashed run rerun with "
                       "the same flags skips finished stages")
+  p.add_argument("--eval_only", action="store_true",
+                 help="strict-cache, one-scene-at-a-time evaluation "
+                      "(required for long statistical-power test "
+                      "sequences at full size — see run_protocol)")
   p.add_argument("--full_size", action="store_true",
                  help="flagship 23.6M-param bf16 nets at 640x480 (the "
                       "acceptance-protocol dress rehearsal; ~2-3 h on a "
@@ -438,7 +460,8 @@ def main(argv=None):
             stress=args.stress, chi2_threshold=args.chi2_threshold,
             w_scale=args.w_scale,
             adaptive_alpha_max=args.adaptive_alpha_max,
-            eval_traj_offset=args.eval_traj_offset)
+            eval_traj_offset=args.eval_traj_offset,
+            eval_only=args.eval_only)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250, joint_steps=50)
