@@ -210,6 +210,16 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
         strict=strict_cache,
         meta={"dataset": dataset, "scenes": of_train_scenes[dataset],
               "height": H, "width": W, "full_size": bool(full_size)})
+    if not of_train_scenes[dataset] and work_dir:
+      # single-scene (eval_only) call for a held-out scene: the cached
+      # OFlowNet WAS trained on scenes this invocation cannot see —
+      # recover the list from the export meta so reports stay truthful
+      from kfnet_tpu.utils import checkpoint as ckpt_lib
+      import os as _os
+      m2 = ckpt_lib.load_meta(_os.path.join(work_dir,
+                                            f"stage2_{dataset}")) or {}
+      of_train_scenes[dataset] = m2.get("scenes",
+                                       ["<cached; meta predates list>"])
     of[dataset] = (cfg, trained, final_loss)
 
   # ---- stage 3: joint fine-tune per training scene ----------------------
