@@ -139,6 +139,24 @@ def test_model_adaptive_matches_series_recursion():
                              rtol=2e-5, atol=1e-7)
 
 
+def test_fit_w_scale_runs_and_picks_from_grid():
+  """--fit path: per-scene temperature fit on TRAIN data returns a grid
+  member and per-candidate means for every candidate."""
+  from kfnet_tpu.pose import ransac
+
+  cfg, params, images = _setup(T=5)
+  rng = np.random.default_rng(0)
+  K = jnp.asarray([[60.0, 0, 31.5], [0, 60.0, 23.5], [0, 0, 1]])
+  gt = jnp.broadcast_to(jnp.eye(4), (5, 4, 4))
+  grid = [1.0, 8.0]
+  best, means = calibrate.fit_w_scale(
+      params, cfg, images, K, np.asarray(gt), grid,
+      ransac.RansacConfig(num_hypotheses=16, top_k=64))
+  assert best in grid
+  assert set(means) == set(grid)
+  assert all(np.isfinite(v) for v in means.values())
+
+
 def test_sweep_reuses_one_executable():
   """The whole point: no recompiles across grid points (traced knobs)."""
   cfg, params, images = _setup()
