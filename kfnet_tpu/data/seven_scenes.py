@@ -90,10 +90,20 @@ def load_split(root: str, scene: str, split: str = "train",
   frames: list[Frame] = []
   for seq in seqs:
     seq_dir = os.path.join(scene_dir, seq)
-    if not os.path.isdir(seq_dir):
-      # 12-Scenes nests under data/
-      seq_dir = os.path.join(scene_dir, seq, "data")
-    frames.extend(_frames_in_seq(seq_dir, seq))
+    # 12-Scenes nests the frame triplets one level down (<seq>/data/).
+    nested = os.path.join(seq_dir, "data")
+    if os.path.isdir(nested):
+      seq_dir = nested
+    seq_frames = _frames_in_seq(seq_dir, seq)
+    if not seq_frames:
+      # A listed sequence with zero readable frames is a mis-laid-out
+      # mount, not an empty dataset — fail loudly instead of yielding a
+      # silently empty split that crashes far downstream.
+      raise FileNotFoundError(
+          f"{split_file} lists {seq!r} but no frame-XXXXXX.color.png/.jpg "
+          f"found under {os.path.join(scene_dir, seq)} (or its data/ "
+          f"subdirectory)")
+    frames.extend(seq_frames)
   K = np.asarray(geo.make_intrinsics(*intrinsics))
   return SceneSplit(scene=scene, frames=frames, intrinsics=K)
 

@@ -20,8 +20,9 @@ TWELVE_SCENES = (
 TWELVE_SCENES_K = (572.0, 572.0, 320.0, 240.0)
 
 
-def load_split(root: str, scene: str, split: str = "train"):
-  return s7.load_split(root, scene, split, intrinsics=TWELVE_SCENES_K)
+def load_split(root: str, scene: str, split: str = "train",
+               intrinsics=TWELVE_SCENES_K):
+  return s7.load_split(root, scene, split, intrinsics=intrinsics)
 
 
 load_frame = s7.load_frame

@@ -191,8 +191,12 @@ def main(argv=None):
     if args.dataset == "7scenes":
       from kfnet_tpu.data.seven_scenes import SEVEN_SCENES
       args.scenes = ",".join(SEVEN_SCENES)
+    elif args.dataset == "12scenes":
+      from kfnet_tpu.data.twelve_scenes import TWELVE_SCENES
+      args.scenes = ",".join(TWELVE_SCENES)
     else:
-      raise ValueError(f"--scenes is required for {args.dataset}")
+      from kfnet_tpu.data.cambridge import CAMBRIDGE_SCENES
+      args.scenes = ",".join(CAMBRIDGE_SCENES)
   return run_acceptance(args)
 
 

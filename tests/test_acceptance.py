@@ -65,6 +65,101 @@ def test_fixture_native_loader_parity(fixture_root):
       native_io.read_depth_raw(fr.depth_path), pil_raw)
 
 
+def test_twelve_scenes_fixture_loaders(tmp_path):
+  """12-Scenes layout: nested <building>/<room> scene names, frame
+  triplets one level down under <seq>/data/, JPEG color — read back
+  through the loader stack the CLIs use."""
+  from kfnet_tpu.data import twelve_scenes as s12
+
+  root = str(tmp_path)
+  gt = fixture_lib.write_twelve_scenes_fixture(
+      root, scenes=("apt1/kitchen",), train_frames=3, test_frames=2,
+      height=96, width=128)
+  train = s12.load_split(root, "apt1/kitchen", "train")
+  assert len(train.frames) == 3
+  assert train.frames[0].color_path.endswith(
+      "seq-01/data/frame-000000.color.jpg")
+  # the loader always reports the full-res preset camera; the fixture's
+  # returned gt K is the render camera (preset scaled to the small size)
+  assert train.intrinsics[0, 0] == 572.0
+  assert gt["apt1/kitchen"]["seq-01"]["K"][0, 0] == pytest.approx(
+      572.0 * 128 / 640)
+  fr = s12.load_frame(train.frames[1])
+  ref = gt["apt1/kitchen"]["seq-01"]
+  # JPEG is lossy (q95, 4:4:4): bound mean and max error separately
+  err = np.abs(fr["image"] - ref["images"][1])
+  assert err.mean() < 0.02 and err.max() < 0.15
+  np.testing.assert_allclose(fr["pose"], ref["poses"][1], atol=1e-6)
+  np.testing.assert_allclose(fr["depth"], ref["depths"][1], atol=2e-3)
+
+
+def test_seven_scenes_empty_split_raises(tmp_path):
+  """A listed sequence with zero readable frames is a mis-laid-out
+  mount — the loader must fail loudly, not yield an empty split."""
+  import os
+
+  scene = tmp_path / "chess"
+  (scene / "seq-01").mkdir(parents=True)
+  (scene / "TrainSplit.txt").write_text("sequence1\n")
+  (scene / "TestSplit.txt").write_text("sequence1\n")
+  with pytest.raises(FileNotFoundError, match="seq-01"):
+    s7.load_split(str(tmp_path), "chess", "train")
+
+
+def test_cambridge_fixture_loaders(tmp_path):
+  """Cambridge layout: dataset_*.txt quaternion pose lines round-trip
+  through the loader's NVM convention; rendered depth on train frames
+  only; images written at the exact 272x480 working resolution."""
+  from kfnet_tpu.data import cambridge as cb
+
+  root = str(tmp_path)
+  gt = fixture_lib.write_cambridge_fixture(
+      root, scenes=("ShopFacade",), train_frames=3, test_frames=2)
+  split, poses = cb.load_split(root, "ShopFacade", "train")
+  assert len(split.frames) == 3
+  fr = cb.load_frame(split.frames[2], poses)
+  ref = gt["ShopFacade"]["train"]
+  assert fr["image"].shape == (272, 480, 3)
+  np.testing.assert_allclose(fr["image"], ref["images"][2], atol=1.0 / 255)
+  # center + world-to-camera quaternion -> T_wc round trip
+  np.testing.assert_allclose(fr["pose"], ref["poses"][2], atol=1e-5)
+  np.testing.assert_allclose(fr["depth"], ref["depths"][2], atol=2e-3)
+  assert fr["depth"].max() > 10.0  # outdoor-scale world
+  test_split, _ = cb.load_split(root, "ShopFacade", "test")
+  assert len(test_split.frames) == 2
+  assert all(f.depth_path is None for f in test_split.frames)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dataset,scene", [("12scenes", "apt1/kitchen"),
+                                           ("cambridge", "ShopFacade")])
+def test_acceptance_runner_other_datasets(dataset, scene, tmp_path):
+  """tools/acceptance.py end-to-end over the 12-Scenes / Cambridge
+  layouts (tiny nets): JPEG decode path, nested scene dirs, NVM poses,
+  depth-less eval-only test frames."""
+  from kfnet_tpu.tools import acceptance
+
+  root = str(tmp_path / "data")
+  if dataset == "12scenes":
+    fixture_lib.write_twelve_scenes_fixture(
+        root, scenes=(scene,), train_frames=7, test_frames=6)
+  else:
+    fixture_lib.write_cambridge_fixture(
+        root, scenes=(scene,), train_frames=7, test_frames=6)
+  work = str(tmp_path / "work")
+  results = acceptance.main([
+      "--dataset", dataset, "--root", root, "--scenes", scene,
+      "--work_dir", work, "--net_scale", "tiny", "--batch_size", "2",
+      "--sc_steps", "3", "--of_steps", "2", "--joint_steps", "2",
+      "--learning_rate", "1e-4",
+  ])
+  row = results["scenes"][scene]
+  for mode in ("filtered", "measurement_only"):
+    assert np.isfinite(row[mode]["median_translation_m"])
+    assert np.isfinite(row[mode]["median_rotation_deg"])
+    assert row[mode]["sequences"][0]["frames"] == 6
+
+
 @pytest.mark.slow
 def test_acceptance_runner_end_to_end(fixture_root, tmp_path):
   """tools/acceptance.py: stages 1→2→3 + filtered & measurement-only
