@@ -53,6 +53,17 @@ def main(argv=None):
                       help="innovation-adaptive prior inflation cap "
                            "(scene-agnostic alternative to --w_scale; "
                            "see KFNetConfig.adaptive_alpha_max)")
+  parser.add_argument("--pose_smooth_beta", type=float, default=0.0,
+                      help="gated constant-velocity SE(3) smoothing of "
+                           "the solved trajectory (pose/smoothing.py; "
+                           "0 = off, the reference protocol). Smoothed "
+                           "poses flow into the report AND --dump_dir.")
+  parser.add_argument("--pose_smooth_gate_factor", type=float, default=3.0,
+                      help="relock gate in multiples of the stream's "
+                           "frame-to-frame motion scale")
+  parser.add_argument("--pose_smooth_rot_gate_deg", type=float, default=30.0,
+                      help="relock when prediction and measurement "
+                           "disagree by more than this rotation (deg)")
   parser.add_argument("--pnp_solver", default="dlt", choices=("dlt", "p3p"),
                       help="RANSAC minimal solver (p3p = 3-pt Grunert, "
                            "survives lower inlier ratios and is faster; "
@@ -162,6 +173,20 @@ def main(argv=None):
       res = fn(params, cfg, images, K, gt_poses=gt,
                scene=f"{exp.scene}/{seq_frames[0].seq}",
                stride=exp.dataset.stride, ransac_config=rcfg)
+    if args.pose_smooth_beta > 0.0:
+      from kfnet_tpu.pose import metrics as pose_metrics
+      from kfnet_tpu.pose import smoothing
+      res.poses = smoothing.smooth_trajectory(
+          res.poses, smoothing.SmootherConfig(
+              beta=args.pose_smooth_beta,
+              gate_factor=args.pose_smooth_gate_factor,
+              rot_gate_deg=args.pose_smooth_rot_gate_deg))
+      if res.report is not None:
+        fps = res.report["frames_per_sec"]
+        res.report = pose_metrics.report(
+            f"{exp.scene}/{seq_frames[0].seq}", res.poses, gt)
+        res.report["frames_per_sec"] = fps
+        res.report["pose_smooth_beta"] = args.pose_smooth_beta
     if args.dump_dir:
       # per-frame dump, mirroring the reference eval scripts' map blobs
       # (SURVEY.md §2.2 #5/#8: "dumps fused maps"). meta.json makes the

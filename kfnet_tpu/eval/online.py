@@ -21,6 +21,7 @@ import numpy as np
 
 from kfnet_tpu.models import kfnet
 from kfnet_tpu.pose import ransac
+from kfnet_tpu.pose import smoothing
 
 
 class OnlineRelocalizer:
@@ -29,7 +30,8 @@ class OnlineRelocalizer:
   def __init__(self, params, config: kfnet.KFNetConfig, K,
                ransac_config: ransac.RansacConfig | None = None,
                stride: int = 8, solve_pose: bool = True,
-               seed: int = 0):
+               seed: int = 0,
+               smoother: smoothing.SmootherConfig | None = None):
     self._params = params
     self._config = config
     self._K = jnp.asarray(K)
@@ -39,6 +41,10 @@ class OnlineRelocalizer:
     self._carry = None
     self._rng = jax.random.key(seed)
     self._frames = 0
+    # optional gated pose-space smoothing of the solved trajectory
+    # (pose/smoothing.py; host-side, O(1) state, reset with the filter)
+    self._smoother = (smoothing.PoseSmoother(smoother)
+                      if smoother is not None else None)
 
     cfg = config
 
@@ -66,6 +72,8 @@ class OnlineRelocalizer:
   def reset(self):
     """Drop the temporal state (scene change / tracking restart)."""
     self._carry = None
+    if self._smoother is not None:
+      self._smoother.reset()
 
   def process(self, image) -> tuple[np.ndarray | None, dict]:
     """Feed one (H, W, 3) frame; returns (T_wc 4x4 or None, info dict).
@@ -90,7 +98,10 @@ class OnlineRelocalizer:
     out = self._pose_fn(self._carry[0], self._carry[1], key)
     info["num_inliers"] = float(out["num_inliers"])
     info["inlier_ratio"] = float(out["inlier_ratio"])
-    return np.asarray(out["T_wc"]), info
+    pose = np.asarray(out["T_wc"])
+    if self._smoother is not None:
+      pose = self._smoother.update(pose)
+    return pose, info
 
   @property
   def state(self):
@@ -125,9 +136,14 @@ class FleetRelocalizer:
                batch_size: int,
                ransac_config: ransac.RansacConfig | None = None,
                stride: int = 8, solve_pose: bool = True,
-               seed: int = 0, mesh=None, axis_name: str = "data"):
+               seed: int = 0, mesh=None, axis_name: str = "data",
+               smoother: smoothing.SmootherConfig | None = None):
     self._params = params
     self._B = batch_size
+    # independent per-slot pose smoothers (streams never interact)
+    self._smoothers = (None if smoother is None else
+                       [smoothing.PoseSmoother(smoother)
+                        for _ in range(batch_size)])
     self._K = jnp.asarray(K)
     self._rcfg = ransac_config or ransac.RansacConfig()
     self._stride = stride
@@ -175,6 +191,9 @@ class FleetRelocalizer:
     """Drop ALL slots' temporal state (per-slot resets go through
     ``process(..., reset=mask)``)."""
     self._carry = None
+    if self._smoothers is not None:
+      for sm in self._smoothers:
+        sm.reset()
 
   def _put(self, x):
     """One sharded transfer for host inputs (device_put straight to the
@@ -209,6 +228,9 @@ class FleetRelocalizer:
     else:
       mask = (np.zeros(self._B, bool) if reset is None
               else np.asarray(reset, bool))
+      if self._smoothers is not None:
+        for b in np.flatnonzero(mask):
+          self._smoothers[b].reset()
       self._carry, frac = self._step_fn(
           self._params, self._carry, images, self._put(mask))
       info["consistent_frac"] = np.asarray(frac)
@@ -220,7 +242,11 @@ class FleetRelocalizer:
     out = self._pose_fn(self._carry[0], self._carry[1], self._put(keys))
     info["num_inliers"] = np.asarray(out["num_inliers"])
     info["inlier_ratio"] = np.asarray(out["inlier_ratio"])
-    return np.asarray(out["T_wc"]), info
+    poses = np.asarray(out["T_wc"])
+    if self._smoothers is not None:
+      poses = np.stack([self._smoothers[b].update(poses[b])
+                        for b in range(self._B)])
+    return poses, info
 
   @property
   def state(self):

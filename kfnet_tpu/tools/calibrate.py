@@ -41,6 +41,7 @@ from kfnet_tpu.core import warp as warp_lib
 from kfnet_tpu.eval import eval_sequence, stats
 from kfnet_tpu.models import kfnet
 from kfnet_tpu.pose import metrics as pose_metrics
+from kfnet_tpu.pose import smoothing
 from kfnet_tpu.tools import protocol
 
 
@@ -134,40 +135,69 @@ def measurement_maps(series):
   return zs, Vs
 
 
+def _solve_poses(solver, xs, Ps, keys):
+  return np.asarray(solver(xs, Ps, keys)["T_wc"])
+
+
 def _pose_errors(solver, xs, Ps, keys, gt):
-  out = solver(xs, Ps, keys)
-  return pose_metrics.pose_errors(np.asarray(out["T_wc"]), gt)
+  return pose_metrics.pose_errors(_solve_poses(solver, xs, Ps, keys), gt)
 
 
 def sweep_scene(params, cfg, images, K, gt, chi2_grid, w_grid,
                 rcfg, block=24, rng_seed=0, alpha_grid=(0.0,),
-                adaptive_stat="s"):
-  """Grid-sweep one scene's cached models. Returns (rows, meas_row)."""
+                adaptive_stat="s", smooth_grid=(0.0,)):
+  """Grid-sweep one scene's cached models. Returns (rows, meas_row).
+
+  smooth_grid: pose-space smoothing betas (pose/smoothing.py) crossed
+  with the Kalman grid; beta=0 is the raw solver trajectory. Non-zero
+  betas also emit base="measurement" rows (smoothed measurement-only
+  poses) so the study separates "smoothing helps PnP scatter" from
+  "filtering helps coordinates". Every row is paired against the RAW
+  measurement-only trajectory — the reference baseline.
+  """
   cfg1 = dataclasses.replace(cfg, w_scale=1.0)
   series = precompute_series(params, cfg1, images)
   solver = eval_sequence.make_pose_solver(K, config=rcfg)
   keys = jax.random.split(jax.random.key(rng_seed), images.shape[0])
   zs, Vs = measurement_maps(series)
-  t_m, r_m = _pose_errors(solver, zs, Vs, keys, gt)
+  T_m = _solve_poses(solver, zs, Vs, keys)
+  t_m, r_m = pose_metrics.pose_errors(T_m, gt)
   meas_row = {"median_translation_m": float(np.median(t_m)),
               "median_rotation_deg": float(np.median(r_m))}
+
+  def paired_row(T, base, **extra):
+    t_f, r_f = pose_metrics.pose_errors(T, gt)
+    row = {"base": base,
+           "median_translation_m": float(np.median(t_f)),
+           "median_rotation_deg": float(np.median(r_f)), **extra}
+    row.update(stats.paired_delta_report(
+        t_f, t_m, block=block, prefix="translation_"))
+    row.update(stats.paired_delta_report(
+        r_f, r_m, block=block, prefix="rotation_"))
+    return row
+
   rows = []
+  for beta in smooth_grid:
+    if beta > 0.0:
+      T_ms = smoothing.smooth_trajectory(
+          T_m, smoothing.SmootherConfig(beta=float(beta)))
+      rows.append(paired_row(T_ms, "measurement", smooth_beta=float(beta)))
   for chi2 in chi2_grid:
     for ws in w_grid:
       for am in alpha_grid:
         xs, Ps = filter_from_series(cfg1, series, jnp.float32(chi2),
                                     jnp.float32(ws), jnp.float32(am),
                                     adaptive_stat=adaptive_stat)
-        t_f, r_f = _pose_errors(solver, xs, Ps, keys, gt)
-        row = {"chi2_threshold": float(chi2), "w_scale": float(ws),
-               "alpha_max": float(am), "adaptive_stat": adaptive_stat,
-               "median_translation_m": float(np.median(t_f)),
-               "median_rotation_deg": float(np.median(r_f))}
-        row.update(stats.paired_delta_report(
-            t_f, t_m, block=block, prefix="translation_"))
-        row.update(stats.paired_delta_report(
-            r_f, r_m, block=block, prefix="rotation_"))
-        rows.append(row)
+        T_f = _solve_poses(solver, xs, Ps, keys)
+        for beta in smooth_grid:
+          T = T_f
+          if beta > 0.0:
+            T = smoothing.smooth_trajectory(
+                T_f, smoothing.SmootherConfig(beta=float(beta)))
+          rows.append(paired_row(
+              T, "filtered", chi2_threshold=float(chi2),
+              w_scale=float(ws), alpha_max=float(am),
+              adaptive_stat=adaptive_stat, smooth_beta=float(beta)))
   return rows, meas_row
 
 
@@ -214,6 +244,13 @@ def main(argv=None):
                       "the grid (0 = off; see filter_from_series)")
   p.add_argument("--adaptive_stat", default="s", choices=("s", "v"),
                  help="adaptation statistic (see filter_from_series)")
+  p.add_argument("--smooth_grid", default="0",
+                 help="pose-space smoothing betas to cross with the grid "
+                      "(0 = raw trajectory; see pose/smoothing.py)")
+  p.add_argument("--eval_traj_offset", type=int, default=0,
+                 help="evaluate on a FRESH held-out camera trajectory "
+                      "(same scene/stages) — out-of-sample validation of "
+                      "a point the sweeps selected (protocol.py semantics)")
   p.add_argument("--fit", action="store_true",
                  help="fit per-scene w_scale on TRAIN sequences, then "
                       "evaluate the test stream at the fitted value")
@@ -225,7 +262,8 @@ def main(argv=None):
   args = p.parse_args(argv)
 
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
-            test_frames=args.test_frames, work_dir=args.work_dir)
+            test_frames=args.test_frames, work_dir=args.work_dir,
+            eval_traj_offset=args.eval_traj_offset)
   if args.full_size:
     kw.update(H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000,
               of_steps=2000, joint_steps=400)
@@ -241,7 +279,7 @@ def main(argv=None):
   w_grid = parse_grid(args.w_grid)
   rcfg = protocol._presets.synthetic_ransac(args.full_size)
   out = {"stress": args.stress, "test_frames": args.test_frames,
-         "scenes": []}
+         "eval_traj_offset": args.eval_traj_offset, "scenes": []}
   for s in scenes:
     # one scene at a time: 480-frame full-size render + depth + stage
     # params ≈ 3 GB HBM per scene — all six at once would not fit.
@@ -279,7 +317,8 @@ def main(argv=None):
       rows, meas = sweep_scene(params, cfg, imgs, K, gt, chi2_grid,
                                w_grid, rcfg, block=args.block,
                                alpha_grid=parse_grid(args.alpha_grid),
-                               adaptive_stat=args.adaptive_stat)
+                               adaptive_stat=args.adaptive_stat,
+                               smooth_grid=parse_grid(args.smooth_grid))
     entry["measurement_only"] = meas
     entry["points"] = rows
     out["scenes"].append(entry)

@@ -157,6 +157,37 @@ def test_fit_w_scale_runs_and_picks_from_grid():
   assert all(np.isfinite(v) for v in means.values())
 
 
+def test_sweep_scene_smooth_grid_rows():
+  """smooth_grid crosses pose-space smoothing with the Kalman grid:
+  beta=0 filtered row, beta>0 filtered row, and a measurement+smooth
+  row — all paired against the raw measurement trajectory."""
+  from kfnet_tpu.pose import ransac
+
+  cfg, params, images = _setup(T=6)
+  K = jnp.asarray([[60.0, 0, 31.5], [0, 60.0, 23.5], [0, 0, 1]])
+  gt = np.broadcast_to(np.eye(4), (6, 4, 4))
+  rows, meas = calibrate.sweep_scene(
+      params, cfg, images, K, gt, [2.37], [16.0],
+      ransac.RansacConfig(num_hypotheses=16, top_k=64),
+      block=3, smooth_grid=(0.0, 0.4))
+  assert np.isfinite(meas["median_translation_m"])
+  bases = {(r["base"], r["smooth_beta"]) for r in rows}
+  assert bases == {("measurement", 0.4), ("filtered", 0.0),
+                   ("filtered", 0.4)}
+  for r in rows:
+    assert np.isfinite(r["median_translation_m"])
+    assert "delta_translation_mean_ci95" in r
+  # the beta=0 filtered row must be the raw solver trajectory (same as
+  # a sweep without smooth_grid)
+  ref_rows, _ = calibrate.sweep_scene(
+      params, cfg, images, K, gt, [2.37], [16.0],
+      ransac.RansacConfig(num_hypotheses=16, top_k=64), block=3)
+  raw = next(r for r in rows if r["base"] == "filtered"
+             and r["smooth_beta"] == 0.0)
+  assert raw["median_translation_m"] == (
+      ref_rows[0]["median_translation_m"])
+
+
 def test_sweep_reuses_one_executable():
   """The whole point: no recompiles across grid points (traced knobs)."""
   cfg, params, images = _setup()

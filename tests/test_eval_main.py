@@ -96,3 +96,44 @@ def test_eval_main_cli_chi2_override(tmp_path, monkeypatch):
   eval_main.main(["--input_folder", root, "--scene", "chess",
                   "--chi2_threshold", "11.34"])
   assert captured["threshold"] == 11.34
+
+
+def test_eval_main_cli_pose_smoothing(tmp_path, monkeypatch):
+  """--pose_smooth_beta: the report is recomputed from the smoothed
+  trajectory (and labeled), and the dumped poses are the smoothed ones."""
+  from kfnet_tpu.eval import main as eval_main
+  from kfnet_tpu.models import kfnet
+  from tests import tiny_configs as tc
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=4)
+  dump_raw = str(tmp_path / "dump_raw")
+  dump_sm = str(tmp_path / "dump_sm")
+
+  def tiny_load(exp, image_shape, sc, of, seed=0):
+    cfg = tc.tiny_kfnet()
+    import jax
+    return cfg, kfnet.init(jax.random.key(0), cfg, image_shape)
+
+  monkeypatch.setattr(eval_main, "load_pretrained", tiny_load)
+  base = ["--input_folder", root, "--scene", "chess"]
+  raw = eval_main.main(base + ["--dump_dir", dump_raw])
+  # tiny-net poses are near-random, so the relock gate would trip every
+  # frame and pass measurements through unchanged; force engagement with
+  # a huge gate to test the CLI plumbing (smoothing quality itself is
+  # pinned in test_pose_smoothing.py)
+  sm = eval_main.main(base + ["--dump_dir", dump_sm,
+                              "--pose_smooth_beta", "0.4",
+                              "--pose_smooth_gate_factor", "1e9",
+                              "--pose_smooth_rot_gate_deg", "1e9"])
+  assert sm[0]["pose_smooth_beta"] == 0.4
+  assert "pose_smooth_beta" not in raw[0]
+  assert np.isfinite(sm[0]["median_translation_m"])
+  assert sm[0]["frames"] == raw[0]["frames"] == 4
+  # coord-accuracy stats still attach after the pose-report swap
+  assert "median_coord_err_m" in sm[0]
+  # dumped pose for a non-first frame differs between runs (smoothing
+  # moved it), while the fused maps are identical
+  p_raw = np.load(os.path.join(dump_raw, "seq-01", "frame-000002.npz"))
+  p_sm = np.load(os.path.join(dump_sm, "seq-01", "frame-000002.npz"))
+  np.testing.assert_allclose(p_raw["coords"], p_sm["coords"], atol=0.0)
+  assert not np.allclose(p_raw["pose"], p_sm["pose"])

@@ -100,3 +100,73 @@ def test_fleet_pose_solve_and_mesh():
   assert info["inlier_ratio"].shape == (8,)
   x, _, _ = fleet.state
   assert len(x.addressable_shards) == 8
+
+
+def test_online_smoother_reduces_scatter_and_resets():
+  """OnlineRelocalizer(smoother=...): identical filter state, smoothed
+  output trajectory; reset() drops the smoother history too."""
+  from kfnet_tpu.pose import smoothing
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(7), cfg, tc.IMG)
+  imgs = tc.random_images(5, seed=8)
+  K = np.asarray([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+  rcfg = ransac.RansacConfig(num_hypotheses=16, top_k=32)
+  raw = OnlineRelocalizer(params, cfg, K, ransac_config=rcfg)
+  smo = OnlineRelocalizer(
+      params, cfg, K, ransac_config=rcfg,
+      smoother=smoothing.SmootherConfig(beta=0.4))
+  raw_poses, smo_poses = [], []
+  for t in range(5):
+    raw_poses.append(raw.process(np.asarray(imgs[t]))[0])
+    smo_poses.append(smo.process(np.asarray(imgs[t]))[0])
+  # same solver, same rng stream: frame 0 identical, later frames blend
+  np.testing.assert_allclose(smo_poses[0], raw_poses[0], atol=1e-12)
+  # offline smoothing of the raw trajectory == the streaming outputs
+  off = smoothing.smooth_trajectory(np.stack(raw_poses),
+                                    smoothing.SmootherConfig(beta=0.4))
+  np.testing.assert_allclose(np.stack(smo_poses), off, atol=1e-9)
+  smo.reset()
+  pose, info = smo.process(np.asarray(imgs[0]))
+  assert info["consistent_frac"] == 0.0
+  assert pose.shape == (4, 4)
+
+
+def test_fleet_smoother_per_slot_reset():
+  """FleetRelocalizer per-slot smoothing: a reset slot's smoother
+  restarts (its post-reset poses match a fresh single stream's)."""
+  from kfnet_tpu.eval.online import FleetRelocalizer
+  from kfnet_tpu.pose import smoothing
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(9), cfg, tc.IMG)
+  streams = [tc.random_images(4, seed=60 + b) for b in range(2)]
+  K = np.asarray([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+  rcfg = ransac.RansacConfig(num_hypotheses=16, top_k=32)
+  scfg = smoothing.SmootherConfig(beta=0.4)
+
+  fleet = FleetRelocalizer(params, cfg, K, batch_size=2,
+                           ransac_config=rcfg, smoother=scfg, seed=11)
+  ticks = []
+  for t in range(4):
+    tick = np.stack([np.asarray(s[t]) for s in streams])
+    reset = np.array([False, t == 2])  # slot 1 restarts at frame 2
+    poses, _ = fleet.process(tick, reset=reset)
+    ticks.append(poses)
+  # replay without smoothing to get the raw per-slot trajectories
+  raw_fleet = FleetRelocalizer(params, cfg, K, batch_size=2,
+                               ransac_config=rcfg, seed=11)
+  raw = []
+  for t in range(4):
+    tick = np.stack([np.asarray(s[t]) for s in streams])
+    poses, _ = raw_fleet.process(tick, reset=np.array([False, t == 2]))
+    raw.append(poses)
+  raw = np.stack(raw)      # (T, B, 4, 4)
+  got = np.stack(ticks)
+  # slot 0: plain streaming smoothing of its raw trajectory
+  off0 = smoothing.smooth_trajectory(raw[:, 0], scfg)
+  np.testing.assert_allclose(got[:, 0], off0, atol=1e-9)
+  # slot 1: smoother history restarts at the reset frame
+  reset_mask = np.array([False, False, True, False])
+  off1 = smoothing.smooth_trajectory(raw[:, 1], scfg, reset=reset_mask)
+  np.testing.assert_allclose(got[:, 1], off1, atol=1e-9)
