@@ -87,7 +87,7 @@ def write_seven_scenes_fixture(root: str, scenes=("chess",),
         Image.fromarray(rgb).save(base + ".color.png")
         mm = np.clip(depths[t] * 1000.0 + 0.5, 0, 65000).astype(np.uint16)
         mm[:2, :2] = 65535  # invalid-depth sentinel pixels
-        Image.fromarray(mm, mode="I;16").save(base + ".depth.png")
+        Image.fromarray(mm).save(base + ".depth.png")
         np.savetxt(base + ".pose.txt", poses[t], fmt="%.9f")
       gt[seq] = {"images": images, "depths": depths, "poses": poses,
                  "K": np.asarray(data["K"])}
@@ -142,7 +142,7 @@ def write_twelve_scenes_fixture(root: str, scenes=("apt1/kitchen",),
         Image.fromarray(rgb).save(base + ".color.jpg", quality=95,
                                   subsampling=0)
         mm = np.clip(depths[t] * 1000.0 + 0.5, 0, 65000).astype(np.uint16)
-        Image.fromarray(mm, mode="I;16").save(base + ".depth.png")
+        Image.fromarray(mm).save(base + ".depth.png")
         np.savetxt(base + ".pose.txt", poses[t], fmt="%.9f")
       gt[seq] = {"images": images, "depths": depths, "poses": poses,
                  "K": np.asarray(data["K"])}
@@ -220,7 +220,7 @@ def write_cambridge_fixture(root: str, scenes=("KingsCollege",),
         if split == "train":
           mm = np.clip(depths[t] * 1000.0 + 0.5, 0,
                        65000).astype(np.uint16)
-          Image.fromarray(mm, mode="I;16").save(
+          Image.fromarray(mm).save(
               os.path.splitext(base)[0] + ".depth.png")
         center = poses[t][:3, 3]
         q = _matrix_to_quat(poses[t][:3, :3].T)  # world-to-camera

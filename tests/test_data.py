@@ -73,7 +73,7 @@ def make_fake_7scenes(root, scene="chess", n=4):
     Image.fromarray(img).save(os.path.join(sdir, f"frame-{i:06d}.color.png"))
     d = (rng.uniform(500, 4000, (48, 64))).astype(np.uint16)
     d[0, 0] = 65535
-    Image.fromarray(d, mode="I;16").save(
+    Image.fromarray(d).save(
         os.path.join(sdir, f"frame-{i:06d}.depth.png"))
     np.savetxt(os.path.join(sdir, f"frame-{i:06d}.pose.txt"),
                np.eye(4, dtype=np.float32))
@@ -134,7 +134,7 @@ def test_twelve_scenes_loader_jpg(tmp_path):
     img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
     Image.fromarray(img).save(os.path.join(sdir, f"frame-{i:06d}.color.jpg"))
     d = rng.integers(500, 4000, (48, 64)).astype(np.uint16)
-    Image.fromarray(d, mode="I;16").save(
+    Image.fromarray(d).save(
         os.path.join(sdir, f"frame-{i:06d}.depth.png"))
     np.savetxt(os.path.join(sdir, f"frame-{i:06d}.pose.txt"), np.eye(4))
   split = s12.load_split(str(tmp_path), "apt1/kitchen", "train")

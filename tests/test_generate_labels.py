@@ -44,7 +44,7 @@ def test_generate_labels_cambridge(tmp_path):
   img = rng.integers(0, 255, (54, 96, 3), dtype=np.uint8)
   Image.fromarray(img).save(scene / "seq1" / "frame00001.png")
   d = rng.integers(3000, 60000, (54, 96)).astype(np.uint16)  # 3-60 m
-  Image.fromarray(d, mode="I;16").save(
+  Image.fromarray(d).save(
       scene / "seq1" / "frame00001.depth.png")
 
   out = str(tmp_path / "labels")

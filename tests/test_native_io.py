@@ -23,7 +23,7 @@ def write_pngs(tmp_path):
   depth[0, :4] = 65535
   depth[1, 0] = 0
   dpath = str(tmp_path / "d.png")
-  Image.fromarray(depth, mode="I;16").save(dpath)
+  Image.fromarray(depth).save(dpath)
   return cpath, dpath, color, depth
 
 
@@ -72,7 +72,7 @@ def _write_scene(tmp_path, n=5):
     depth = rng.integers(300, 5000, (48, 64)).astype(np.uint16)
     depth[i % 4, :3] = 65535
     dp = str(tmp_path / f"d{i}.png")
-    Image.fromarray(depth, mode="I;16").save(dp)
+    Image.fromarray(depth).save(dp)
     w = rng.normal(size=3) * 0.2
     import jax.numpy as jnp
     from kfnet_tpu.core import geometry as geo
