@@ -130,23 +130,23 @@ def run_acceptance(args) -> dict:
     filt = eval_main.main(base)
     log(f"eval[{scene}]: measurement-only")
     meas = eval_main.main(base + ["--measurement_only"])
+    modes = {"filtered": filt, "measurement_only": meas}
+    if args.pose_smooth_beta > 0.0:
+      log(f"eval[{scene}]: filtered + pose smoothing "
+          f"(beta={args.pose_smooth_beta})")
+      modes["filtered_smoothed"] = eval_main.main(
+          base + ["--pose_smooth_beta", str(args.pose_smooth_beta)])
 
     def agg(rows, key):
       return float(np.mean([r[key] for r in rows])) if rows else float("nan")
 
     results["scenes"][scene] = {
-        "filtered": {
-            "median_translation_m": agg(filt, "median_translation_m"),
-            "median_rotation_deg": agg(filt, "median_rotation_deg"),
-            "accuracy_5cm_5deg": agg(filt, "accuracy_5cm_5deg"),
-            "sequences": filt,
-        },
-        "measurement_only": {
-            "median_translation_m": agg(meas, "median_translation_m"),
-            "median_rotation_deg": agg(meas, "median_rotation_deg"),
-            "accuracy_5cm_5deg": agg(meas, "accuracy_5cm_5deg"),
-            "sequences": meas,
-        },
+        mode: {
+            "median_translation_m": agg(rows, "median_translation_m"),
+            "median_rotation_deg": agg(rows, "median_rotation_deg"),
+            "accuracy_5cm_5deg": agg(rows, "accuracy_5cm_5deg"),
+            "sequences": rows,
+        } for mode, rows in modes.items()
     }
 
   rows = list(results["scenes"].values())
@@ -155,7 +155,7 @@ def run_acceptance(args) -> dict:
         mode: {k: float(np.mean([r[mode][k] for r in rows]))
                for k in ("median_translation_m", "median_rotation_deg",
                          "accuracy_5cm_5deg")}
-        for mode in ("filtered", "measurement_only")}
+        for mode in rows[0]}
   if args.report:
     with open(args.report, "w") as f:
       json.dump(results, f, indent=2)
@@ -185,6 +185,11 @@ def main(argv=None):
   p.add_argument("--steps_per_dispatch", type=int, default=1)
   p.add_argument("--chi2_threshold", type=float, default=None)
   p.add_argument("--w_scale", type=float, default=None)
+  p.add_argument("--pose_smooth_beta", type=float, default=0.0,
+                 help="also evaluate the serving recommendation "
+                      "(docs/CALIBRATION.md §6): a third "
+                      "filtered_smoothed result block per scene with "
+                      "pose-space smoothing at this beta")
   p.add_argument("--seed", type=int, default=0)
   args = p.parse_args(argv)
   if not args.scenes:

@@ -187,11 +187,17 @@ def test_acceptance_runner_end_to_end(fixture_root, tmp_path):
   # every stage export landed and is reusable (stage caching contract)
   for stage in ("scoordnet_chess", "oflownet_7scenes", "kfnet_chess"):
     assert os.path.isdir(os.path.join(work, stage, "export", "params"))
-  # a re-run skips training (caches) and still evaluates
+  # a re-run skips training (caches) and still evaluates; with
+  # --pose_smooth_beta it adds the serving-recommendation block
   results2 = acceptance.main([
       "--dataset", "7scenes", "--root", root, "--scenes", "chess",
       "--work_dir", work, "--net_scale", "tiny", "--batch_size", "2",
       "--sc_steps", "3", "--of_steps", "2", "--joint_steps", "2",
+      "--pose_smooth_beta", "0.4",
   ])
   assert np.isfinite(
       results2["scenes"]["chess"]["filtered"]["median_translation_m"])
+  sm = results2["scenes"]["chess"]["filtered_smoothed"]
+  assert np.isfinite(sm["median_translation_m"])
+  assert sm["sequences"][0]["pose_smooth_beta"] == 0.4
+  assert "filtered_smoothed" in results2["average"]
