@@ -75,6 +75,10 @@ def main(argv=None):
                  help="override meta.json (map-cell stride in pixels)")
   p.add_argument("--intrinsics", default="",
                  help="fx,fy,cx,cy — overrides meta.json")
+  p.add_argument("--pose_smooth_beta", type=float, default=0.0,
+                 help="gated constant-velocity SE(3) smoothing of the "
+                      "re-solved trajectory (pose/smoothing.py; 0 = "
+                      "off — docs/CALIBRATION.md §6 serving option)")
   p.add_argument("--seed", type=int, default=0)
   args = p.parse_args(argv)
 
@@ -108,6 +112,10 @@ def main(argv=None):
     data = load_dump_sequence(seq_dir)
     poses = solve_sequence(data["coords"], data["covariance"], K, stride,
                            rcfg, seed=args.seed)
+    if args.pose_smooth_beta > 0.0:
+      from kfnet_tpu.pose import smoothing
+      poses = smoothing.smooth_trajectory(
+          poses, smoothing.SmootherConfig(beta=args.pose_smooth_beta))
     scene = f"{meta.get('scene', '')}/{seq}".lstrip("/")
     if data["pose_gt"] is not None:
       rep = pose_metrics.report(scene, poses, data["pose_gt"])
@@ -116,6 +124,8 @@ def main(argv=None):
       # (a solver-settings consistency check, labeled as such).
       rep = pose_metrics.report(scene, poses, data["pose"])
       rep["gt_source"] = "dumped_poses_no_gt"
+    if args.pose_smooth_beta > 0.0:
+      rep["pose_smooth_beta"] = args.pose_smooth_beta
     reports.append(rep)
     print(json.dumps(rep))
   if args.report:

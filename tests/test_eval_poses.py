@@ -120,3 +120,18 @@ def test_eval_poses_solver_flags_and_no_gt(tmp_path, monkeypatch):
   assert rep["gt_source"] == "dumped_poses_no_gt"
   assert rep["frames"] == 3
   assert np.isfinite(rep["median_translation_m"])
+
+
+def test_eval_poses_pose_smoothing_flag(tmp_path, monkeypatch):
+  """--pose_smooth_beta: the offline re-solve applies the serving
+  smoother and labels the report."""
+  from kfnet_tpu.tools import eval_poses
+
+  dump_dir, _ = _make_dump(tmp_path, monkeypatch, n=4)
+  raw = eval_poses.main(["--dump_dir", dump_dir])
+  sm = eval_poses.main(["--dump_dir", dump_dir,
+                        "--pose_smooth_beta", "0.4"])
+  assert "pose_smooth_beta" not in raw[0]
+  assert sm[0]["pose_smooth_beta"] == 0.4
+  assert sm[0]["frames"] == raw[0]["frames"] == 4
+  assert np.isfinite(sm[0]["median_translation_m"])
