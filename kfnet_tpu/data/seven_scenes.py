@@ -90,11 +90,14 @@ def load_split(root: str, scene: str, split: str = "train",
   frames: list[Frame] = []
   for seq in seqs:
     seq_dir = os.path.join(scene_dir, seq)
-    # 12-Scenes nests the frame triplets one level down (<seq>/data/).
-    nested = os.path.join(seq_dir, "data")
-    if os.path.isdir(nested):
-      seq_dir = nested
     seq_frames = _frames_in_seq(seq_dir, seq)
+    if not seq_frames:
+      # 12-Scenes nests the frame triplets one level down (<seq>/data/).
+      # Checked only when the top level holds none, so a stray data/
+      # subdirectory in a flat 7-Scenes mount cannot shadow real frames.
+      nested = os.path.join(seq_dir, "data")
+      if os.path.isdir(nested):
+        seq_frames = _frames_in_seq(nested, seq)
     if not seq_frames:
       # A listed sequence with zero readable frames is a mis-laid-out
       # mount, not an empty dataset — fail loudly instead of yielding a

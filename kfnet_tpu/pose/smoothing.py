@@ -123,13 +123,20 @@ class PoseSmoother:
     """Consume one measured camera-to-world pose, emit the smoothed one."""
     cfg = self.config
     T = np.asarray(T_meas, np.float64)
-    # motion scale from consecutive MEASURED poses — immune to feedback
-    # from the smoothing itself
+    # The gate is computed from the PRE-update motion EMA, and the EMA
+    # ingests each measured step CLIPPED to that gate: a single gross
+    # PnP outlier can inflate the EMA by at most one gate_factor-bounded
+    # contribution (instead of poisoning it outright, which would widen
+    # the gate enough to blend the NEXT good frames toward the outlier),
+    # while sustained genuine speed changes still re-seed the EMA within
+    # a few frames of geometric growth. The first observed step seeds
+    # the EMA unclipped (there is no scale to gate against yet).
+    gate = max(cfg.gate_factor * (self._motion or 0.0), cfg.min_gate_m)
     if self._prev_meas is not None:
       step = float(np.linalg.norm(T[:3, 3] - self._prev_meas[:3, 3]))
       self._motion = (step if self._motion is None else
                       (1.0 - cfg.motion_ema) * self._motion
-                      + cfg.motion_ema * step)
+                      + cfg.motion_ema * min(step, gate))
     self._prev_meas = T
 
     if self._prev is None:
@@ -139,7 +146,6 @@ class PoseSmoother:
         pred = self._prev @ (_inv_se3(self._prev2) @ self._prev)
       else:
         pred = self._prev
-      gate = max(cfg.gate_factor * (self._motion or 0.0), cfg.min_gate_m)
       gap_t = float(np.linalg.norm(pred[:3, 3] - T[:3, 3]))
       dR = T[:3, :3].T @ pred[:3, :3]
       gap_r = np.degrees(np.linalg.norm(_log_so3(dR)))

@@ -126,16 +126,41 @@ def run_acceptance(args) -> dict:
           os.path.join(args.work_dir, f"scoordnet_{scene}", "export"),
           "--oflownet_ckpt", of_export]
     base = _common(args, scene) + ckpt_flags + eval_common_extra
+    dump_dir = ""
+    if args.pose_smooth_beta > 0.0:
+      # dump the filtered run's maps+poses so the smoothed block is a
+      # host-side post-process of the SAME trajectory (no second CNN or
+      # RANSAC pass — smoothing is a few-KB numpy pass per sequence)
+      dump_dir = os.path.join(args.work_dir, "dump", scene)
     log(f"eval[{scene}]: filtered")
-    filt = eval_main.main(base)
+    filt = eval_main.main(
+        base + (["--dump_dir", dump_dir] if dump_dir else []))
     log(f"eval[{scene}]: measurement-only")
     meas = eval_main.main(base + ["--measurement_only"])
     modes = {"filtered": filt, "measurement_only": meas}
     if args.pose_smooth_beta > 0.0:
+      import glob
+
+      from kfnet_tpu.pose import metrics as pose_metrics
+      from kfnet_tpu.pose import smoothing
+      from kfnet_tpu.tools import eval_poses
       log(f"eval[{scene}]: filtered + pose smoothing "
-          f"(beta={args.pose_smooth_beta})")
-      modes["filtered_smoothed"] = eval_main.main(
-          base + ["--pose_smooth_beta", str(args.pose_smooth_beta)])
+          f"(beta={args.pose_smooth_beta}, from dumped poses)")
+      sm_rows = []
+      for seq_dir in sorted(glob.glob(os.path.join(dump_dir, "*"))):
+        if not os.path.isdir(seq_dir):
+          continue
+        data = eval_poses.load_dump_sequence(seq_dir)
+        poses = smoothing.smooth_trajectory(
+            data["pose"],
+            smoothing.SmootherConfig(beta=args.pose_smooth_beta))
+        rep = pose_metrics.report(
+            f"{scene}/{os.path.basename(seq_dir)}", poses,
+            data["pose_gt"])
+        rep["pose_smooth_beta"] = args.pose_smooth_beta
+        sm_rows.append(rep)
+        print(json.dumps(rep), flush=True)
+      modes["filtered_smoothed"] = sm_rows
 
     def agg(rows, key):
       return float(np.mean([r[key] for r in rows])) if rows else float("nan")

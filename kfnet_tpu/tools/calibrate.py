@@ -312,7 +312,10 @@ def main(argv=None):
       entry["fit_train_mean_translation_by_w"] = means
       rows, meas = sweep_scene(params, cfg, imgs, K, gt,
                                [cfg.chi2_threshold], [best_w], rcfg,
-                               block=args.block)
+                               block=args.block,
+                               alpha_grid=parse_grid(args.alpha_grid),
+                               adaptive_stat=args.adaptive_stat,
+                               smooth_grid=parse_grid(args.smooth_grid))
     else:
       rows, meas = sweep_scene(params, cfg, imgs, K, gt, chi2_grid,
                                w_grid, rcfg, block=args.block,

@@ -201,3 +201,17 @@ def test_acceptance_runner_end_to_end(fixture_root, tmp_path):
   assert np.isfinite(sm["median_translation_m"])
   assert sm["sequences"][0]["pose_smooth_beta"] == 0.4
   assert "filtered_smoothed" in results2["average"]
+
+
+def test_seven_scenes_stray_data_subdir_does_not_shadow(tmp_path):
+  """A flat 7-Scenes sequence dir containing a stray data/ subdirectory
+  (extraction artifact) must still load from the top level — the nested
+  12-Scenes layout is a fallback, not a preference."""
+  root = str(tmp_path)
+  fixture_lib.write_seven_scenes_fixture(
+      root, scenes=("chess",), train_frames=2, test_frames=2,
+      height=96, width=128)
+  (tmp_path / "chess" / "seq-01" / "data").mkdir()
+  split = s7.load_split(root, "chess", "train")
+  assert len(split.frames) == 2
+  assert "/data/" not in split.frames[0].color_path

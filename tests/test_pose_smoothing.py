@@ -128,3 +128,21 @@ def test_log_exp_so3_roundtrip_incl_pi():
     w = smoothing._log_so3(R)
     R2 = smoothing._exp_so3(w)
     np.testing.assert_allclose(R2, R, atol=1e-8)
+
+
+def test_single_outlier_does_not_poison_gate_or_contaminate_recovery():
+  """A single gross PnP outlier must not widen the motion-EMA gate: the
+  outlier frame relocks (pass-through), and the following GOOD frames
+  must come out (near-)unchanged rather than blended toward the outlier
+  (the review-confirmed failure mode of ingesting the outlier step into
+  the EMA before gating)."""
+  gt, _ = _traj(n=20, step=0.02)
+  meas = gt.copy()
+  meas[5, :3, 3] += np.asarray([5.0, 0.0, 0.0])  # one degenerate solve
+  sm = smoothing.smooth_trajectory(meas, smoothing.SmootherConfig(beta=0.4))
+  # outlier frame: relock, emitted unchanged
+  np.testing.assert_allclose(sm[5], meas[5], atol=1e-12)
+  # frames 6.. are exact measurements; their smoothed outputs must stay
+  # within a small fraction of the outlier magnitude of the truth
+  err = np.linalg.norm(sm[:, :3, 3] - gt[:, :3, 3], axis=-1)
+  assert err[6] < 0.05 and err[7] < 0.05 and err[8:].max() < 0.02
