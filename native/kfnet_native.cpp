@@ -48,6 +48,15 @@ int channels_for(uint8_t color_type) {
   }
 }
 
+// Header dims are UNTRUSTED input. Without a cap, a crafted IHDR of
+// ~2^32 x 2^32 makes (row_bytes+1)*height wrap size_t, so the decode
+// buffers come out undersized while unfilter() still walks the full
+// claimed height — an out-of-bounds write driven by file contents. The
+// cap also bounds allocations (worst case under it is ~4 GiB claimed →
+// rejected; largest real dataset frame is 1920x1080). 16384 px per side
+// is generous for every supported dataset.
+constexpr uint32_t kMaxDim = 16384;
+
 PngInfo parse_info(const uint8_t* buf, size_t len) {
   PngInfo info;
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
@@ -59,7 +68,8 @@ PngInfo parse_info(const uint8_t* buf, size_t len) {
   info.bit_depth = buf[24];
   info.color_type = buf[25];
   info.interlace = buf[28];
-  info.ok = info.width && info.height && info.interlace == 0 &&
+  info.ok = info.width && info.height && info.width <= kMaxDim &&
+            info.height <= kMaxDim && info.interlace == 0 &&
             channels_for(info.color_type) > 0 &&
             (info.bit_depth == 8 || info.bit_depth == 16);
   return info;
@@ -141,18 +151,24 @@ bool unfilter(std::vector<uint8_t>& raw, uint8_t* pixels, uint32_t height,
   return true;
 }
 
+// noexcept at the C ABI boundary: allocation failure on a hostile-but-
+// under-cap size claim must surface as a decode error, not an unwound
+// C++ exception through extern "C" frames (= std::terminate).
 bool decode_png(const uint8_t* buf, size_t len, PngInfo& info,
-                std::vector<uint8_t>& pixels) {
+                std::vector<uint8_t>& pixels) try {
   info = parse_info(buf, len);
   if (!info.ok) return false;
   int ch = channels_for(info.color_type);
   int bpp = ch * info.bit_depth / 8;
+  // kMaxDim bounds these well below size_t wrap (≤ 16384²·8 + 16384 B).
   size_t row_bytes = size_t(info.width) * bpp;
   size_t expected = (row_bytes + 1) * info.height;
   std::vector<uint8_t> raw;
   if (!inflate_idat(buf, len, raw, expected)) return false;
   pixels.resize(row_bytes * info.height);
   return unfilter(raw, pixels.data(), info.height, row_bytes, bpp);
+} catch (const std::exception&) {
+  return false;
 }
 
 bool read_file(const char* path, std::vector<uint8_t>& out) {
