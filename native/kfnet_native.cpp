@@ -171,6 +171,10 @@ bool decode_png(const uint8_t* buf, size_t len, PngInfo& info,
   return false;
 }
 
+// The resize must not throw out of here: this runs on kfn_load_batch's
+// std::thread workers, where an escaped bad_alloc (e.g. a huge on-disk
+// file) cannot unwind past the thread entry and would terminate the
+// whole process.
 bool read_file(const char* path, std::vector<uint8_t>& out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -178,7 +182,12 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
   long n = std::ftell(f);
   if (n <= 0) { std::fclose(f); return false; }
   std::fseek(f, 0, SEEK_SET);
-  out.resize(size_t(n));
+  try {
+    out.resize(size_t(n));
+  } catch (const std::exception&) {
+    std::fclose(f);
+    return false;
+  }
   size_t got = std::fread(out.data(), 1, size_t(n), f);
   std::fclose(f);
   return got == size_t(n);
