@@ -105,6 +105,31 @@ def test_corrupt_idat_raises_not_crash(tmp_path):
     assert ok < 200
 
 
+def test_load_batch_reports_corrupt_file_and_kind(tmp_path):
+  """kfn_load_batch's packed error code must name the failing frame AND
+  whether it was the color or the depth file, for corrupt (not just
+  missing) inputs."""
+  import struct
+
+  from kfnet_tpu.core import geometry as geo
+  cpath, dpath = _seed_pngs(tmp_path)
+  K = np.asarray(geo.make_intrinsics(*geo.SEVEN_SCENES_K))
+  poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+  kw = dict(K=K, width=64, height=48, stride=8)
+
+  bad_depth = tmp_path / "bad_d.png"
+  bad_depth.write_bytes(open(dpath, "rb").read()[:40])  # truncated IDAT
+  with pytest.raises(ValueError, match=r"frame 1.*depth.*bad_d"):
+    native_io.load_batch([cpath, cpath], [dpath, str(bad_depth)], poses,
+                         **kw)
+
+  bad_color = tmp_path / "bad_c.png"
+  _patch_dims(cpath, str(bad_color), 0xFFFFFFFF, 48)  # hostile header
+  with pytest.raises(ValueError, match=r"frame 0.*color.*bad_c"):
+    native_io.load_batch([str(bad_color), cpath], [dpath, dpath], poses,
+                         **kw)
+
+
 @pytest.mark.skipif(os.system("which g++ > /dev/null 2>&1") != 0,
                     reason="no C++ toolchain")
 def test_asan_mutation_fuzz(tmp_path):
