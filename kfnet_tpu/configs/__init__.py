@@ -32,6 +32,8 @@ def twelve_scenes(scene: str = "apt1/kitchen",
 
 def cambridge(scene: str = "KingsCollege",
               input_folder: str = "") -> config_lib.ExperimentConfig:
+  from kfnet_tpu.data.cambridge import CAMBRIDGE_SCENES
+  assert scene in CAMBRIDGE_SCENES, scene  # fail fast like the other two
   return config_lib.ExperimentConfig(
       dataset=config_lib.CAMBRIDGE, scene=scene,
       input_folder=input_folder, batch_size=8,

@@ -46,8 +46,15 @@ def scene_statistics(coords_list: Iterable[np.ndarray],
     total += c.sum(0)
     total_sq += (c ** 2).sum(0)
     count += c.shape[0]
-  mean = total / max(count, 1)
-  var = total_sq / max(count, 1) - mean ** 2
+  if count == 0:
+    # silently returning mean=0 / std=1e-6 would bake a degenerate
+    # coord_scale into the net config and its persisted meta — fail loud
+    # (mis-set depth_scale or min/max_depth is the usual cause)
+    raise ValueError(
+        "scene_statistics: no valid label pixels in any sampled frame — "
+        "check depth_scale / min_depth / max_depth against the dataset")
+  mean = total / count
+  var = total_sq / count - mean ** 2
   std = float(np.sqrt(np.maximum(var, 1e-12).mean()))
   return mean.astype(np.float32), std
 

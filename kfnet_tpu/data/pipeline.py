@@ -78,34 +78,67 @@ def augment_example(rng: np.random.Generator, example: dict,
 
 class Prefetcher:
   """Runs ``producer`` in a daemon thread, keeping up to ``depth`` items
-  queued; iteration yields until the producer is exhausted."""
+  queued; iteration yields until the producer is exhausted.
+
+  ``close()`` retires the thread when the CONSUMER stops early (the
+  normal case: trainer.fit breaks out of an infinite epochs=None stream
+  at max_steps). Without it the producer blocks forever on a full queue,
+  pinning the thread plus ``depth`` full batches (~100+ MB across a
+  multi-stage protocol/acceptance run) for the process lifetime. The
+  iterator closes itself on exhaustion AND on early abandonment (its
+  ``finally`` runs when the consuming generator is closed)."""
 
   _DONE = object()
 
   def __init__(self, producer: Iterator, depth: int = 3):
     self._q: queue.Queue = queue.Queue(maxsize=depth)
     self._err: BaseException | None = None
+    self._stop = threading.Event()
+
+    def put(item) -> bool:
+      """Bounded put that gives up when close() is called."""
+      while not self._stop.is_set():
+        try:
+          self._q.put(item, timeout=0.2)
+          return True
+        except queue.Full:
+          continue
+      return False
 
     def run():
       try:
         for item in producer:
-          self._q.put(item)
+          if not put(item):
+            return
       except BaseException as e:  # surface worker errors to the consumer
         self._err = e
       finally:
-        self._q.put(self._DONE)
+        put(self._DONE)
 
     self._thread = threading.Thread(target=run, daemon=True)
     self._thread.start()
 
+  def close(self):
+    """Unblock and join the producer thread; drop queued batches."""
+    self._stop.set()
+    try:
+      while True:
+        self._q.get_nowait()
+    except queue.Empty:
+      pass
+    self._thread.join(timeout=5.0)
+
   def __iter__(self):
-    while True:
-      item = self._q.get()
-      if item is self._DONE:
-        if self._err is not None:
-          raise self._err
-        return
-      yield item
+    try:
+      while True:
+        item = self._q.get()
+        if item is self._DONE:
+          if self._err is not None:
+            raise self._err
+          return
+        yield item
+    finally:
+      self.close()
 
 
 def batched(load_fns: Sequence[Callable[[], dict]],
@@ -143,10 +176,14 @@ def batched(load_fns: Sequence[Callable[[], dict]],
         yield batch
       epoch += 1
 
-  for batch in Prefetcher(produce(), depth=prefetch_depth):
-    if to_device:
-      batch = jax.device_put(batch)
-    yield batch
+  pf = Prefetcher(produce(), depth=prefetch_depth)
+  try:
+    for batch in pf:
+      if to_device:
+        batch = jax.device_put(batch)
+      yield batch
+  finally:
+    pf.close()  # deterministic even when the consumer stops early
 
 
 def batched_native(color_paths, depth_paths, poses, K, image_size,
@@ -203,7 +240,11 @@ def batched_native(color_paths, depth_paths, poses, K, image_size,
         yield batch
       epoch += 1
 
-  for batch in Prefetcher(produce(), depth=prefetch_depth):
-    if to_device:
-      batch = jax.device_put(batch)
-    yield batch
+  pf = Prefetcher(produce(), depth=prefetch_depth)
+  try:
+    for batch in pf:
+      if to_device:
+        batch = jax.device_put(batch)
+      yield batch
+  finally:
+    pf.close()  # deterministic even when the consumer stops early

@@ -37,6 +37,12 @@ def _cambridge():
   from kfnet_tpu.data import seven_scenes as s7
 
   def load_split(root, scene, split="train", intrinsics=None):
+    if intrinsics is not None:
+      raise ValueError(
+          "the cambridge loader derives its working-resolution "
+          "intrinsics from the full-res camera (data/cambridge.py); an "
+          "override would silently disagree with the resized images — "
+          "callers must not pass intrinsics for this dataset")
     sp, poses = cb.load_split(root, scene, split)
     sp._cambridge_poses = poses  # stashed for load_frame
     return sp
@@ -66,3 +72,19 @@ def get(name: str) -> DatasetAdapter:
     adapter.load_frame_with_split = (
         lambda split_obj, frame: adapter.load_frame(frame))
   return adapter
+
+
+def default_scenes(name: str) -> list[str]:
+  """The dataset's canonical scene list — the correct default for any
+  CLI whose --scenes flag is unset (a hard-coded 7-Scenes list would
+  crash 12-Scenes/Cambridge runs on TrainSplit.txt lookups)."""
+  if name == "7scenes":
+    from kfnet_tpu.data.seven_scenes import SEVEN_SCENES
+    return list(SEVEN_SCENES)
+  if name == "12scenes":
+    from kfnet_tpu.data.twelve_scenes import TWELVE_SCENES
+    return list(TWELVE_SCENES)
+  if name == "cambridge":
+    from kfnet_tpu.data.cambridge import CAMBRIDGE_SCENES
+    return list(CAMBRIDGE_SCENES)
+  raise KeyError(name)

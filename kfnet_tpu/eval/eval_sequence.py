@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +27,66 @@ def make_pose_solver(K, stride: int = 8,
   (coords (T,h,w,3), covariance (T,h,w,1), keys (T,)) → ransac output
   dict. THE shared pose-solve entry for batch/streaming/measurement eval,
   the benchmark, and the offline dump tool (validity is all-ones: map
-  cells are weighted by covariance inside the solver)."""
-  K = jnp.asarray(K)
+  cells are weighted by covariance inside the solver).
+
+  Cached per (K, stride, config): eval drivers call this once per test
+  SEQUENCE, and a fresh jit wrapper each time would recompile the whole
+  vmapped RANSAC even for identical shapes (minutes per sequence under
+  the remote-compile TPU backend)."""
+  K_flat = tuple(float(v) for v in np.asarray(K).reshape(-1))
+  return _pose_solver_cached(K_flat, stride, config)
+
+
+@lru_cache(maxsize=None)
+def _pose_solver_cached(K_flat: tuple, stride: int,
+                        config: ransac.RansacConfig):
+  K = jnp.asarray(K_flat, jnp.float32).reshape(3, 3)
   return jax.jit(jax.vmap(
       lambda c, P, k: ransac.solve_pnp_from_maps(
           c, P, jnp.ones_like(P, bool), K, k, stride=stride,
           config=config)))
+
+
+@lru_cache(maxsize=None)
+def _filter_run_jit(config: kfnet.KFNetConfig):
+  """Per-config cached jit of the filter scan (same rationale as
+  _pose_solver_cached — one compile serves every same-shape sequence)."""
+  return jax.jit(lambda p, im: sequence.run_filter(p, config, im)[:2])
+
+
+@lru_cache(maxsize=None)
+def _measure_chunk_jit(config: kfnet.KFNetConfig):
+  return jax.jit(
+      lambda p, im: jax.vmap(lambda i: kfnet.measure(p, config, i))(im))
+
+
+def measure_chunked(params, config: kfnet.KFNetConfig, images,
+                    chunk_size: int = 64):
+  """SCoordNet over a (T, H, W, 3) stack in fixed-size chunks.
+
+  vmapping the whole sequence at once materializes a batch-T conv
+  forward — tens of GB of activations for a real 1000-frame 640x480
+  test sequence. Chunking bounds activation memory at O(chunk) while a
+  single compiled (chunk, H, W, 3) executable serves every chunk (the
+  tail is padded, then trimmed). ``images`` may be a host (numpy) stack
+  — chunks transfer one at a time, so this is also the memory-bounded
+  streaming form for measurement-only eval.
+  """
+  T = images.shape[0]
+  chunk = max(1, min(int(chunk_size), T))
+  measure = _measure_chunk_jit(config)
+  zs, Vs = [], []
+  for s in range(0, T, chunk):
+    sl = jnp.asarray(images[s:s + chunk])
+    n = sl.shape[0]
+    if n < chunk:  # pad the ragged tail to keep ONE compiled shape
+      sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], chunk - n, axis=0)])
+    z, V = measure(params, sl)
+    zs.append(z[:n])
+    Vs.append(V[:n])
+  if len(zs) == 1:
+    return zs[0], Vs[0]
+  return jnp.concatenate(zs), jnp.concatenate(Vs)
 
 
 @dataclasses.dataclass
@@ -60,7 +115,7 @@ def evaluate_sequence(params, config: kfnet.KFNetConfig,
   """
   rng = rng if rng is not None else jax.random.key(0)
 
-  run = jax.jit(lambda p, im: sequence.run_filter(p, config, im)[:2])
+  run = _filter_run_jit(config)
   solve = make_pose_solver(K, stride=stride, config=ransac_config)
 
   from kfnet_tpu.utils.timing import sync
@@ -96,28 +151,29 @@ def evaluate_measurement_only(params, config: kfnet.KFNetConfig,
                               ransac_config=ransac.RansacConfig(),
                               stride: int = 8,
                               rng: jax.Array | None = None,
-                              timing_reps: int = 3) -> EvalResult:
+                              timing_reps: int = 3,
+                              chunk_size: int = 64) -> EvalResult:
   """SCoordNet-only ablation (no temporal filter) — the reference's
   single-frame baseline row (SURVEY.md §6). fps is median-of-
-  ``timing_reps`` after one warmup, matching ``evaluate_sequence``."""
+  ``timing_reps`` after one warmup, matching ``evaluate_sequence``.
+
+  The measurement pass is CHUNKED (see measure_chunked): real test
+  sequences run ~1000 frames, and a whole-sequence vmap would OOM on
+  conv activations alone. ``images`` may therefore also be a host-
+  resident numpy stack (the streaming form)."""
   rng = rng if rng is not None else jax.random.key(0)
-  # params is a jit ARGUMENT, never a closure capture — closing over the
-  # ~24M-param tree would embed ~100 MB of weights as compile-time
-  # constants and re-trace per call (fresh lambda each sequence); see
-  # train/device_fit.py for the documented remote-compile hazard.
-  measure = jax.jit(
-      lambda p, im: jax.vmap(lambda i: kfnet.measure(p, config, i))(im))
   solve = make_pose_solver(K, stride=stride, config=ransac_config)
   from kfnet_tpu.utils.timing import sync
 
   keys = jax.random.split(rng, images.shape[0])
-  zs, Vs = measure(params, images)
+  zs, Vs = measure_chunked(params, config, images, chunk_size=chunk_size)
   out = solve(zs, Vs, keys)
   sync(out["T_wc"])
   dts = []
   for _ in range(max(1, timing_reps)):
     t0 = time.perf_counter()
-    zs, Vs = measure(params, images)
+    zs, Vs = measure_chunked(params, config, images,
+                             chunk_size=chunk_size)
     out = solve(zs, Vs, keys)
     sync(out["T_wc"])
     dts.append(time.perf_counter() - t0)

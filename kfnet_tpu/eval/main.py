@@ -156,7 +156,10 @@ def main(argv=None):
     import contextlib
     import functools
     if args.measurement_only:
-      fn = eval_sequence.evaluate_measurement_only
+      # always chunk-bounded (measure_chunked); with --streaming the
+      # stack additionally stays host-resident and transfers per chunk
+      fn = functools.partial(eval_sequence.evaluate_measurement_only,
+                             chunk_size=args.chunk_size)
     elif args.streaming:
       fn = functools.partial(eval_sequence.evaluate_sequence_streaming,
                              chunk_size=args.chunk_size)

@@ -178,13 +178,18 @@ def conv3x3_gn_chain(x: jnp.ndarray, scale: jnp.ndarray,
 
 def gn_scale_shift(s1: jnp.ndarray, s2: jnp.ndarray, n_spatial: int,
                    gamma: jnp.ndarray, beta: jnp.ndarray,
-                   groups: int = 32, eps: float = 1e-5):
+                   groups: int | None = None, eps: float | None = None):
   """Turn per-channel conv-output moments into the next prologue's
-  per-channel (scale, shift): GroupNorm with affine params folded in."""
+  per-channel (scale, shift): GroupNorm with affine params folded in.
+
+  groups/eps default to nn.layers' canonical GN constants — the serial
+  path this is parity-locked to constructs ``group_norm()`` with
+  defaults, so the fused trunk must follow the same source of truth."""
+  from kfnet_tpu.nn import layers as L
+  groups = L.GN_GROUPS if groups is None else groups
+  eps = L.GN_EPS if eps is None else eps
   c = s1.shape[0]
-  g = min(groups, c)
-  while c % g:
-    g -= 1
+  g = L.gn_group_count(c, groups)
   cg = c // g
   n = n_spatial * cg
   gs1 = jnp.sum(s1.reshape(g, cg), axis=-1)

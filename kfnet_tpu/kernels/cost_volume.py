@@ -35,15 +35,19 @@ def cost_volume(feat_prev: jnp.ndarray, feat_cur: jnp.ndarray,
   h, w, c = feat_prev.shape[-3:]
   r = radius
   pad = [(0, 0)] * (feat_prev.ndim - 3) + [(r, r), (r, r), (0, 0)]
-  prev_p = jnp.pad(feat_prev, pad)
+  # cast the OPERANDS to f32, not the product: bf16·bf16 evaluated in f32
+  # is exact (8-bit mantissas), which is the MXU's own multiply-in-full/
+  # accumulate-in-f32 semantics — computing the product in bf16 first
+  # would round every term (~0.4% each) before the "f32 accumulation"
+  # the docstring promises. XLA fuses the casts; no extra HBM traffic.
+  prev_p = jnp.pad(feat_prev, pad).astype(jnp.float32)
+  cur32 = feat_cur.astype(jnp.float32)
   scale = 1.0 / float(c)
   slabs = []
   for dy in range(-r, r + 1):
     for dx in range(-r, r + 1):
       shifted = prev_p[..., dy + r:dy + r + h, dx + r:dx + r + w, :]
-      # accumulate the channel reduction in f32 (features may be bf16)
-      prod = (feat_cur * shifted).astype(jnp.float32)
-      slabs.append(jnp.sum(prod, axis=-1) * scale)
+      slabs.append(jnp.sum(cur32 * shifted, axis=-1) * scale)
   return jnp.stack(slabs, axis=-1)
 
 

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from kfnet_tpu.core import kalman
+
 
 def _kernel(x_ref, P_ref, flow_ref, W_ref, z_ref, V_ref,
             xo_ref, Po_ref, cons_ref, pad_ref,
@@ -116,7 +118,7 @@ def _kernel(x_ref, P_ref, flow_ref, W_ref, z_ref, V_ref,
 def _fused_call(x_prev, P_prev, flow, W, z, V, radius, threshold,
                 invalid_cov, interpret):
   h, w_, _ = x_prev.shape
-  r = int(radius) if radius is not None else 8
+  r = int(radius)  # fused_warp_kalman resolves the None default
   pad = r + 1
   to_cf = lambda a: jnp.transpose(a, (2, 0, 1)).astype(jnp.float32)
   out_shape = (
@@ -185,7 +187,7 @@ def fused_warp_kalman(x_prev: jnp.ndarray, P_prev: jnp.ndarray,
                       flow: jnp.ndarray, W: jnp.ndarray,
                       z: jnp.ndarray, V: jnp.ndarray,
                       radius: int | None = None,
-                      threshold: float = 7.814728,
+                      threshold: float = kalman.CHI2_3DOF_P05,
                       invalid_cov: float = 1e8,
                       interpret: bool = False):
   """One fused filter inner step.

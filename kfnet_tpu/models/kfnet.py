@@ -62,12 +62,24 @@ class KFNetConfig:
   # statistic m̄ of the innovation under S = P⁻+V has expectation 3 (dof)
   # when the filter is calibrated; m̄ > 3 ⇒ the prior is overconfident
   # (the transfer failure mode), so P⁻ inflates by α = clip(m̄/3, 1,
-  # adaptive_alpha_max) before the gain. Scene-agnostic, no fitting.
-  # 0.0 disables. Uses the XLA composition even when use_pallas=True
-  # (α needs a global reduction between warp and update, which would
-  # break the fused kernel's single-pass model; the kernel's e2e edge is
-  # ~4%, correctness wins).
+  # adaptive_alpha_max) before the gain. m̄ averages over WARP-VALID
+  # pixels only: out-of-bounds pixels carry P⁻ = invalid_cov, so their
+  # maha ≈ 0 and an unmasked mean dilutes the statistic exactly in the
+  # high-motion frames adaptation exists for. Scene-agnostic, no
+  # fitting. Values <= 1 disable (α ≡ 1; a cap of exactly 1 cannot
+  # inflate); values in (0, 1) are rejected as a likely misread of the
+  # knob. When enabled (> 1) the XLA composition runs even if
+  # use_pallas=True (α needs a global reduction between warp and update,
+  # which would break the fused kernel's single-pass model; the kernel's
+  # e2e edge is ~4%, correctness wins).
   adaptive_alpha_max: float = 0.0
+
+  def __post_init__(self):
+    a = self.adaptive_alpha_max
+    if 0.0 < a < 1.0:
+      raise ValueError(
+          f"adaptive_alpha_max={a}: an inflation CAP below 1 cannot "
+          "inflate — use 0 (off) or a value > 1")
 
 
 def init(key: jax.Array, config: KFNetConfig,
@@ -84,11 +96,10 @@ def preprocess_images(config: KFNetConfig, images: jnp.ndarray):
   factor, apply it ONCE to a whole (T, ..., H, W, 3) stack — the scan in
   filter/sequence.py then carries pre-transformed frames, saving the
   per-step transpose (~0.4 ms/step measured)."""
-  f1 = config.scoordnet.stem_s2d
-  f2 = config.oflownet.stem_s2d
-  if f1 == f2 and f1 > 1 and images.shape[-1] == 3:
-    from kfnet_tpu.nn import layers as L
-    return L.space_to_depth(f1).apply({}, images)
+  if config.scoordnet.stem_s2d == config.oflownet.stem_s2d:
+    # one shared guard+apply implementation (raw-RGB check included):
+    # scoordnet.maybe_space_to_depth
+    return scoordnet.maybe_space_to_depth(config.scoordnet, images)
   return images
 
 
@@ -126,7 +137,9 @@ def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
   # rematerializes the XLA form) would diverge.
   r = float(config.oflownet.search_radius)
   flow = jnp.clip(flow, -r, r)
-  adaptive = config.adaptive_alpha_max >= 1.0
+  # strictly > 1: a cap of exactly 1 is α ≡ 1 (no inflation), so it must
+  # not silently force the slower XLA path on use_pallas configs
+  adaptive = config.adaptive_alpha_max > 1.0
   if config.use_pallas and not adaptive:
     from kfnet_tpu.kernels import fused_filter
     x_post, P_post, consistent = fused_filter.fused_warp_kalman(
@@ -134,11 +147,16 @@ def _fused_update(config: KFNetConfig, x_prev, P_prev, flow, W, z, V):
         radius=config.oflownet.search_radius,
         threshold=config.chi2_threshold, invalid_cov=config.invalid_cov)
     return x_post, P_post, consistent, None
-  x_pr, P_pr, _ = warp_lib.warp_state_cov(
+  x_pr, P_pr, valid = warp_lib.warp_state_cov(
       x_prev, P_prev, flow, W, invalid_cov=config.invalid_cov)
   if adaptive:
     maha = kalman.mahalanobis_sq(z - x_pr, P_pr, V)
-    m_bar = jnp.mean(jnp.minimum(maha, 25.0))
+    # mean over WARP-VALID pixels only (see KFNetConfig docstring): the
+    # invalid band's maha ≈ ‖inn‖²/invalid_cov ≈ 0 would dilute m̄
+    # toward "calibrated" in exactly the frames that need inflation
+    v = valid.astype(jnp.float32)
+    m_bar = (jnp.sum(jnp.minimum(maha, 25.0) * v)
+             / jnp.maximum(jnp.sum(v), 1.0))
     alpha = jnp.clip(m_bar / 3.0, 1.0, config.adaptive_alpha_max)
     P_pr = alpha * P_pr
   x_post, P_post, consistent = kalman.kalman_update(

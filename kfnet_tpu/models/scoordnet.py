@@ -135,6 +135,13 @@ def _fused_suffix_start(config: SCoordNetConfig) -> int:
   f = config.stem_s2d
   cins = [3 * f * f if f > 1 else 3] + list(config.channels)
   n = len(config.channels)
+  # the fused loop in _apply_fused_trunk ALWAYS includes the head conv
+  # block (index n): if that block is ineligible (head_channels or its
+  # input not 128-multiples), nothing may fuse — otherwise a
+  # pallas_fused config with e.g. head_channels=320 passes init and
+  # crashes at inference inside conv3x3_gn_chain's tile assert.
+  if config.head_channels % 128 or cins[-1] % 128:
+    return n + 1
   start = n + 1
   for i in range(n - 1, -1, -1):
     if strides[i] == 1 and cins[i] % 128 == 0 and cins[i + 1] % 128 == 0:

@@ -163,25 +163,36 @@ def conv_transpose(out_ch: int,
   return Layer(init, apply)
 
 
-def group_norm(groups: int = 32, eps: float = 1e-5) -> Layer:
+# GroupNorm defaults, shared with kernels/conv3x3.py's fused-trunk
+# epilogue (gn_scale_shift): the fused path re-derives the group math
+# outside this module, so these MUST be the single source of truth — a
+# local literal in either file would let the two parity-locked
+# implementations drift.
+GN_GROUPS = 32
+GN_EPS = 1e-5
+
+
+def gn_group_count(c: int, groups: int = GN_GROUPS) -> int:
+  """Largest divisor of ``c`` not exceeding ``groups`` — THE group-count
+  derivation for every GroupNorm in the codebase."""
+  g = min(groups, c)
+  while c % g:
+    g -= 1
+  return g
+
+
+def group_norm(groups: int = GN_GROUPS, eps: float = GN_EPS) -> Layer:
   """GroupNorm over channel groups (stateless BatchNorm replacement)."""
 
   def init(key, in_shape):
     c = in_shape[-1]
-    g = min(groups, c)
-    while c % g:
-      g -= 1
     params = {"scale": jnp.ones((c,), jnp.float32),
-              "bias": jnp.zeros((c,), jnp.float32),
-              # static group count stashed as a python int via closure
-              }
+              "bias": jnp.zeros((c,), jnp.float32)}
     return params, in_shape
 
   def apply(params, x):
     c = x.shape[-1]
-    g = min(groups, c)
-    while c % g:
-      g -= 1
+    g = gn_group_count(c, groups)
     cg = c // g
     in_dtype = x.dtype
     x32 = x.astype(jnp.float32)

@@ -21,7 +21,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: int | None = None,
               axis_name: str = "data") -> Mesh:
   devices = jax.devices()
-  n = num_devices or len(devices)
+  n = len(devices) if num_devices is None else num_devices
+  if not 1 <= n <= len(devices):
+    raise ValueError(
+        f"make_mesh(num_devices={num_devices}): need 1..{len(devices)} "
+        f"(visible devices: {len(devices)})")
   return Mesh(np.asarray(devices[:n]).reshape(n), (axis_name,))
 
 

@@ -22,7 +22,7 @@ Two layers, both verified against the single-device filter on the virtual
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,10 @@ def _halo_exchange_w(x: jnp.ndarray, halo: int, axis_name: str,
                      n_shards: int) -> jnp.ndarray:
   """Extend a (..., H, W_local, C) block with ``halo`` columns from each
   mesh neighbor along the sharded W axis. Edge devices get zeros (the
-  unsharded op's zero padding)."""
+  unsharded op's zero padding). Requires halo >= 1: the negative slice
+  below would select the WHOLE block at halo == 0 (callers with a 0-wide
+  stencil need no exchange at all)."""
+  assert halo >= 1, "halo exchange with an empty halo — skip the call"
   # left halo of shard i = rightmost columns of shard i-1 (send right)
   send_right = [(i, i + 1) for i in range(n_shards - 1)]
   left = lax.ppermute(x[..., -halo:, :], axis_name, perm=send_right)
@@ -72,15 +75,20 @@ def cost_volume_spatial(feat_prev: jnp.ndarray, feat_cur: jnp.ndarray,
   def local(fp, fc):
     # fp/fc: (H, W/n, C) per-shard blocks
     h, wl, c = fp.shape
-    fp_ext = _halo_exchange_w(fp, r, axis_name, n)     # (H, W/n + 2r, C)
-    fp_ext = jnp.pad(fp_ext, [(r, r), (0, 0), (0, 0)])  # H zero pad
+    # r == 0 is pointwise self-correlation: no stencil crosses a shard
+    # boundary, and _halo_exchange_w's negative slicing would be wrong
+    # for an empty halo (x[..., -0:, :] is the whole block).
+    fp_ext = _halo_exchange_w(fp, r, axis_name, n) if r > 0 else fp
+    # f32 OPERANDS before the product, matching kernels.cost_volume
+    # (bf16·bf16 in f32 is exact — the parity contract between the two)
+    fp_ext = jnp.pad(fp_ext, [(r, r), (0, 0), (0, 0)]).astype(jnp.float32)
+    fc32 = fc.astype(jnp.float32)
     scale = 1.0 / float(c)
     slabs = []
     for dy in range(-r, r + 1):
       for dx in range(-r, r + 1):
         shifted = fp_ext[dy + r:dy + r + h, dx + r:dx + r + wl, :]
-        prod = (fc * shifted).astype(jnp.float32)
-        slabs.append(jnp.sum(prod, axis=-1) * scale)
+        slabs.append(jnp.sum(fc32 * shifted, axis=-1) * scale)
     return jnp.stack(slabs, axis=-1)
 
   fn = shard_map(local, mesh=mesh,
@@ -116,11 +124,20 @@ def run_filter_spatial(params, config, images: jnp.ndarray, mesh: Mesh,
   rep = NamedSharding(mesh, P())
   params = jax.device_put(params, rep)
   images = jax.device_put(images, img_sharding)
+  return _spatial_jit(img_sharding, config)(params, images)
 
-  @partial(jax.jit,
-           out_shardings=(NamedSharding(mesh, P(None, None, axis_name,
-                                                None)),) * 2)
+
+@lru_cache(maxsize=None)
+def _spatial_jit(img_sharding, config):
+  """Per-(sharding, config) cached jit of the W-sharded filter: a fresh
+  ``jax.jit`` closure per call would recompile the whole GSPMD-partitioned
+  scan on every invocation (the same serving-API hazard the fleet path
+  fixed in filter/sequence.py::_fleet_jit). NamedSharding and the frozen
+  config are both hashable, so one compile serves all repeat calls."""
+  from kfnet_tpu.filter import sequence
+
+  @partial(jax.jit, out_shardings=(img_sharding,) * 2)
   def run(p, im):
     return sequence.run_filter(p, config, im)[:2]
 
-  return run(params, images)
+  return run

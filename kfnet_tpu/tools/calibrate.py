@@ -102,18 +102,25 @@ def filter_from_series(config: kfnet.KFNetConfig, series,
   def step(c, inp):
     x, P = c
     flow = jnp.clip(inp["flow"], -r, r)
-    x_pr, P_pr, _ = warp_lib.warp_state_cov(
+    x_pr, P_pr, valid = warp_lib.warp_state_cov(
         x, P, flow, inp["W"] * w_scale, invalid_cov=config.invalid_cov)
     inn2 = jnp.sum(jnp.square(inp["z"] - x_pr), axis=-1, keepdims=True)
     S = P_pr + inp["V"]
+    # statistics average over WARP-VALID pixels only, matching
+    # kfnet._fused_update: the out-of-bounds band carries
+    # P⁻ = invalid_cov, whose near-zero maha would dilute m̄ exactly in
+    # the high-motion frames adaptation exists for
+    v = valid.astype(jnp.float32)
+    vsum = jnp.maximum(jnp.sum(v), 1.0)
     if adaptive_stat == "s":
       # clip per-pixel maha: χ²-reset-grade outliers (prior plainly
       # wrong) must not dominate the inflation estimate
-      m_bar = jnp.mean(jnp.minimum(inn2 / S, 25.0))
+      m_bar = jnp.sum(jnp.minimum(inn2 / S, 25.0) * v) / vsum
       ratio = m_bar / 3.0
     else:
-      mv = jnp.mean(jnp.minimum(inn2 / inp["V"], 250.0))
-      expect = 3.0 * jnp.mean(jnp.minimum(S / inp["V"], 250.0 / 3.0))
+      mv = jnp.sum(jnp.minimum(inn2 / inp["V"], 250.0) * v) / vsum
+      expect = 3.0 * jnp.sum(
+          jnp.minimum(S / inp["V"], 250.0 / 3.0) * v) / vsum
       ratio = mv / expect
     alpha = jnp.where(alpha_max >= 1.0,
                       jnp.clip(ratio, 1.0, alpha_max), 1.0)

@@ -87,8 +87,18 @@ def make_window_loaders(exp: config_lib.ExperimentConfig, scenes,
 
     for seq_frames in adapter.iter_sequences(split):
       for i in range(len(seq_frames) - window + 1):
-        load_fns.append(functools.partial(
-            load_window, seq_frames[i:i + window]))
+        win = seq_frames[i:i + window]
+        # every frame needs depth for its coordinate labels; windows
+        # touching a depth-less frame (Cambridge ships many) are
+        # eval-only — same rule as make_pair_loaders, which would
+        # otherwise KeyError('depth') inside the prefetch thread
+        if not all(fr.depth_path for fr in win):
+          continue
+        load_fns.append(functools.partial(load_window, win))
+  if not load_fns:
+    raise ValueError(
+        f"no {window}-frame windows with depth on every frame across "
+        "the requested scenes — cannot build BPTT training labels")
   return load_fns
 
 

@@ -18,7 +18,6 @@ import jax
 import numpy as np
 
 from kfnet_tpu.data import labels, pipeline
-from kfnet_tpu.data import seven_scenes as s7
 from kfnet_tpu.models import oflownet
 from kfnet_tpu.parallel import mesh as mesh_lib
 from kfnet_tpu.train import objectives, trainer
@@ -73,13 +72,15 @@ def make_pair_loaders(exp: config_lib.ExperimentConfig, scenes: list[str],
 def main(argv=None):
   parser = config_lib.add_common_flags(argparse.ArgumentParser())
   parser.add_argument("--scenes", default="",
-                      help="comma-separated; default = all 7-Scenes")
+                      help="comma-separated; default = the selected "
+                           "--dataset's full canonical scene list")
   parser.add_argument("--frame_gap", type=int, default=1)
   parser.add_argument("--flow_reg_weight", type=float, default=0.0)
   args = parser.parse_args(argv)
   exp = config_lib.from_args(args)
+  from kfnet_tpu.data import registry
   scenes = ([s for s in args.scenes.split(",") if s]
-            or list(s7.SEVEN_SCENES))
+            or registry.default_scenes(exp.dataset.name))
 
   load_fns = make_pair_loaders(exp, scenes, args.frame_gap)
   params = oflownet.init(

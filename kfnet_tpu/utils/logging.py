@@ -27,21 +27,34 @@ class MetricLogger:
       except ImportError:
         self.log_text("tensorboardX unavailable; TB logging disabled")
 
+  @staticmethod
+  def _scalars(metrics: dict) -> dict:
+    """Coerce to python floats, accepting numpy/jax 0-d scalars — a
+    strict isinstance(v, (int, float)) filter would silently DROP an
+    np.float32 loss from every sink, making the logger's contract depend
+    on each call site remembering to pre-convert."""
+    out = {}
+    for k, v in metrics.items():
+      if isinstance(v, (str, bytes)):
+        continue  # text payloads are not metrics even if float()-able
+      try:
+        out[k] = float(v)
+      except (TypeError, ValueError):
+        pass  # non-scalar payloads (arrays, None) are not metrics
+    return out
+
   def log_metrics(self, step: int, metrics: dict):
-    parts = " ".join(f"{k}={v:.5g}" for k, v in sorted(metrics.items())
-                     if isinstance(v, (int, float)))
+    scalars = self._scalars(metrics)
+    parts = " ".join(f"{k}={v:.5g}" for k, v in sorted(scalars.items()))
     self._stream.write(f"[step {step}] {parts}\n")
     self._stream.flush()
     if self._jsonl:
-      rec = {"step": step, "time": time.time(), **{
-          k: float(v) for k, v in metrics.items()
-          if isinstance(v, (int, float))}}
+      rec = {"step": step, "time": time.time(), **scalars}
       self._jsonl.write(json.dumps(rec) + "\n")
       self._jsonl.flush()
     if self._tb:
-      for k, v in metrics.items():
-        if isinstance(v, (int, float)):
-          self._tb.add_scalar(k, v, step)
+      for k, v in scalars.items():
+        self._tb.add_scalar(k, v, step)
 
   def log_text(self, msg: str):
     self._stream.write(msg + "\n")

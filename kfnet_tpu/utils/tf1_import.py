@@ -22,25 +22,6 @@ from typing import Mapping
 import numpy as np
 
 
-def flatten_pytree_paths(tree, prefix=()):
-  """Yield (path tuple, leaf) for dict/list pytrees (our param trees)."""
-  if isinstance(tree, dict):
-    for k in sorted(tree):
-      yield from flatten_pytree_paths(tree[k], prefix + (k,))
-  elif isinstance(tree, (list, tuple)):
-    for i, v in enumerate(tree):
-      yield from flatten_pytree_paths(v, prefix + (i,))
-  else:
-    yield prefix, tree
-
-
-def set_in_pytree(tree, path, value):
-  node = tree
-  for k in path[:-1]:
-    node = node[k]
-  node[path[-1]] = value
-
-
 def scoordnet_mapping(num_blocks: int = 14) -> dict:
   """PROVISIONAL name map: TF1 variable name -> our param path.
 
@@ -145,7 +126,7 @@ def import_flat(flat: Mapping[str, np.ndarray], mapping: Mapping[str, tuple],
   """
   import copy
   out = copy.deepcopy(template)
-  imported, missing, mismatched = [], [], []
+  imported, missing, mismatched, unmapped = [], [], [], []
   for name, path in mapping.items():
     if name not in flat:
       missing.append(name)
@@ -157,15 +138,22 @@ def import_flat(flat: Mapping[str, np.ndarray], mapping: Mapping[str, tuple],
         node = node[k]
       dst = node[path[-1]]
     except (KeyError, IndexError, TypeError):
-      missing.append(f"{name} -> {path} (no such path)")
+      # the variable EXISTS in the checkpoint — the MODEL has no leaf at
+      # the mapped path (e.g. a biased-conv mapping applied to a
+      # bias-free norm="group" template). Reporting this as "missing"
+      # would point the operator at the wrong artifact.
+      unmapped.append(f"{name} -> {path} (no such path in template)")
       continue
     if tuple(dst.shape) != tuple(src.shape):
       mismatched.append(f"{name}: ckpt {src.shape} vs model {dst.shape}")
       continue
     node[path[-1]] = src.astype(np.asarray(dst).dtype)
     imported.append(name)
-  if strict and (missing or mismatched):
+  if strict and (missing or mismatched or unmapped):
     raise ValueError(
-        f"TF1 import failed: missing={missing} mismatched={mismatched}")
+        f"TF1 import failed: missing(ckpt lacks variable)={missing} "
+        f"mismatched={mismatched} "
+        f"unmapped(model lacks mapped path — wrong net config, e.g. "
+        f"norm/stem mismatch)={unmapped}")
   return out, {"imported": imported, "missing": missing,
-               "mismatched": mismatched}
+               "mismatched": mismatched, "unmapped": unmapped}

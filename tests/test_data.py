@@ -215,3 +215,80 @@ def test_augment_crop_with_label_maps():
   np.testing.assert_array_equal(
       out["valid"], valid[y // s:y // s + 4, x // s:x // s + 6])
   np.testing.assert_array_equal(out["coords_prev"], out["coords"])
+
+
+def test_scene_statistics_no_valid_pixels_raises():
+  with pytest.raises(ValueError, match="no valid label pixels"):
+    labels.scene_statistics([np.zeros((4, 4, 3), np.float32)],
+                            [np.zeros((4, 4), bool)])
+
+
+def test_prefetcher_close_unblocks_producer():
+  """close() must retire a producer blocked on a full queue (the normal
+  early-stop case: trainer.fit breaks out of an infinite stream)."""
+
+  def forever():
+    while True:
+      yield np.zeros(8, np.float32)
+
+  pf = pipeline.Prefetcher(forever(), depth=2)
+  it = iter(pf)
+  next(it)
+  pf.close()
+  assert not pf._thread.is_alive()
+
+
+def test_batched_consumer_break_retires_prefetch_thread():
+  import threading
+
+  load_fns = [lambda: {"x": np.zeros(3, np.float32)}] * 6
+  before = set(threading.enumerate())
+  gen = pipeline.batched(load_fns, 2, epochs=None, to_device=False)
+  assert next(gen)["x"].shape == (2, 3)
+  gen.close()  # finally-block must close the Prefetcher deterministically
+  assert set(threading.enumerate()) == before
+
+
+def test_registry_default_scenes_and_cambridge_intrinsics_guard(tmp_path):
+  from kfnet_tpu.data import registry
+  from kfnet_tpu.data.cambridge import CAMBRIDGE_SCENES
+
+  assert "chess" in registry.default_scenes("7scenes")
+  assert registry.default_scenes("cambridge") == list(CAMBRIDGE_SCENES)
+  with pytest.raises(KeyError):
+    registry.default_scenes("nope")
+  adapter = registry.get("cambridge")
+  with pytest.raises(ValueError, match="must not pass intrinsics"):
+    adapter.load_split(str(tmp_path), "KingsCollege", "train",
+                       intrinsics=np.eye(3, dtype=np.float32))
+
+
+def test_window_loaders_skip_depthless_frames(tmp_path):
+  """BPTT windows touching a depth-less frame (Cambridge ships many)
+  must be skipped like make_pair_loaders does — not KeyError('depth')
+  inside the prefetch thread."""
+  import glob
+
+  from kfnet_tpu import configs
+  from kfnet_tpu.data import fixture
+  from kfnet_tpu.train import train_kfnet
+
+  fixture.write_cambridge_fixture(str(tmp_path), scenes=("KingsCollege",),
+                                  train_frames=6, test_frames=2)
+  exp = configs.get("cambridge", "KingsCollege",
+                    input_folder=str(tmp_path))
+  fns = train_kfnet.make_window_loaders(exp, ["KingsCollege"], window=3)
+  assert len(fns) == 4  # 6 depth-complete frames -> 4 windows
+  ex = fns[0]()
+  assert ex["images"].shape[0] == 3 and ex["coords"].shape[0] == 3
+
+  depths = sorted(glob.glob(
+      os.path.join(str(tmp_path), "KingsCollege", "seq1", "*.depth.png")))
+  os.remove(depths[2])  # frame 2 becomes eval-only
+  fns = train_kfnet.make_window_loaders(exp, ["KingsCollege"], window=3)
+  assert len(fns) == 1  # only frames 3..5 remain depth-complete
+
+  for d in depths[:2] + depths[3:]:
+    os.remove(d)
+  with pytest.raises(ValueError, match="windows with depth"):
+    train_kfnet.make_window_loaders(exp, ["KingsCollege"], window=3)

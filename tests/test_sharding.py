@@ -110,3 +110,29 @@ def test_fleet_filter_rejects_indivisible_batch(mesh):
   batch = jnp.stack([tc.random_images(3, seed=1)] * 3, axis=1)
   with pytest.raises(ValueError, match="divisible"):
     sequence.run_filter_fleet(params, cfg, batch, mesh)
+
+
+def test_make_mesh_validates_device_count():
+  """0 must not silently mean 'all devices'; too-many must say why."""
+  with pytest.raises(ValueError, match="need 1"):
+    mesh_lib.make_mesh(0)
+  with pytest.raises(ValueError, match="visible devices"):
+    mesh_lib.make_mesh(len(jax.devices()) + 1)
+
+
+def test_metric_logger_coerces_numpy_scalars(tmp_path):
+  """np.float32/np.int64 metrics must reach every sink (a strict
+  isinstance(int, float) filter silently dropped them); text and array
+  payloads stay excluded."""
+  import json
+
+  from kfnet_tpu.utils.logging import MetricLogger
+
+  path = tmp_path / "metrics.jsonl"
+  lg = MetricLogger(jsonl_path=str(path))
+  lg.log_metrics(3, {"loss": np.float32(1.5), "n": np.int64(7),
+                     "note": "1.25", "arr": np.ones(3)})
+  lg.close()
+  rec = json.loads(path.read_text().splitlines()[-1])
+  assert rec["loss"] == 1.5 and rec["n"] == 7.0
+  assert "note" not in rec and "arr" not in rec

@@ -21,7 +21,7 @@ def mesh():
   return mesh_lib.make_mesh(8)
 
 
-@pytest.mark.parametrize("radius", [1, 2, 4])
+@pytest.mark.parametrize("radius", [0, 1, 2, 4])
 def test_cost_volume_halo_exchange_matches_unsharded(mesh, radius):
   """W sharded 8-way; every correlation whose window crosses a shard
   boundary must see its neighbor's columns via the ppermute halos."""
@@ -72,6 +72,22 @@ def test_full_filter_spatially_sharded_matches_single_device(mesh):
   # tightens artificially; compile-order variance is relative (~1e-5)
   np.testing.assert_allclose(np.asarray(Ps), np.asarray(Ps_ref),
                              rtol=3e-5, atol=1e-6)
+
+
+def test_run_filter_spatial_does_not_recompile(mesh):
+  """Repeat calls must reuse one cached jit wrapper (the serving-API
+  hazard: a fresh jax.jit closure per call recompiles every time)."""
+  cfg = tc.tiny_kfnet()
+  from kfnet_tpu.models import kfnet
+
+  imgs = tc.random_images(3, seed=9, shape=(48, 128, 3))
+  params = kfnet.init(jax.random.key(2), cfg, (48, 128, 3))
+  spatial._spatial_jit.cache_clear()
+  a = spatial.run_filter_spatial(params, cfg, imgs, mesh)
+  b = spatial.run_filter_spatial(params, cfg, imgs, mesh)
+  info = spatial._spatial_jit.cache_info()
+  assert info.misses == 1 and info.hits == 1
+  np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
 
 
 def test_spatial_filter_pallas_config_falls_back(mesh):

@@ -139,3 +139,20 @@ def test_import_oflownet_tiny_roundtrip():
       np.asarray(out["encoder"][0][0]["w"]), flat["oflownet/conv1/weights"])
   np.testing.assert_array_equal(
       np.asarray(out["head"]["b"]), flat["oflownet/flow/biases"])
+
+
+def test_import_flat_unmapped_path_reported_separately():
+  """A checkpoint variable whose mapped path is absent from the template
+  (model-structure mismatch, e.g. biased-conv mapping vs bias-free net)
+  must be reported as 'unmapped', not conflated with 'missing' (which
+  means the CHECKPOINT lacks the variable)."""
+  params = {"a": [{"w": np.zeros((2, 2), np.float32)}]}
+  mapping = {"x/w": ("a", 0, "w"), "x/b": ("a", 0, "b")}
+  flat = {"x/w": np.ones((2, 2), np.float32),
+          "x/b": np.ones((2,), np.float32)}
+  with pytest.raises(ValueError, match="unmapped"):
+    tf1_import.import_flat(flat, mapping, params)
+  out, rep = tf1_import.import_flat(flat, mapping, params, strict=False)
+  assert rep["unmapped"] and not rep["missing"] and not rep["mismatched"]
+  assert rep["imported"] == ["x/w"]
+  np.testing.assert_array_equal(out["a"][0]["w"], flat["x/w"])
