@@ -91,11 +91,16 @@ def main():
   peak = flops_lib.peak_flops(jax.devices()[0])
   mfu = flops_per_frame * fps / peak
 
+  # the CPU dev-machine fallback measures a TINY config at 48x64 — it
+  # must not masquerade as the 640x480 headline nor claim a ratio
+  # against the full-size TF1 anchor
+  metric = ("kfnet_filtered_frames_per_sec_640x480" if on_tpu else
+            "kfnet_filtered_frames_per_sec_48x64_tiny_cpu_fallback")
   print(json.dumps({
-      "metric": "kfnet_filtered_frames_per_sec_640x480",
+      "metric": metric,
       "value": round(fps, 2),
       "unit": "frames/sec/chip",
-      "vs_baseline": round(fps / ASSUMED_TF1_FPS, 2),
+      "vs_baseline": round(fps / ASSUMED_TF1_FPS, 2) if on_tpu else None,
       "backend": jax.default_backend(),
       "frames": FRAMES,
       "use_pallas": bool(cfg.use_pallas),

@@ -62,6 +62,10 @@ def run_acceptance(args) -> dict:
   from kfnet_tpu.train import train_kfnet, train_oflownet, train_scoordnet
 
   scenes = [s for s in args.scenes.split(",") if s]
+  if not scenes:
+    raise SystemExit(
+        "acceptance: empty scene list (check --scenes) — stages would "
+        "silently no-op and stage 2 would crash on scenes[0]")
   os.makedirs(args.work_dir, exist_ok=True)
   log = lambda msg: print(f"[acceptance] {msg}", flush=True)
 
@@ -150,7 +154,8 @@ def run_acceptance(args) -> dict:
       for seq_dir in sorted(glob.glob(os.path.join(dump_dir, "*"))):
         if not os.path.isdir(seq_dir):
           continue
-        data = eval_poses.load_dump_sequence(seq_dir)
+        data = eval_poses.load_dump_sequence(
+            seq_dir, keys=("pose", "pose_gt"))  # skip the big map blobs
         poses = smoothing.smooth_trajectory(
             data["pose"],
             smoothing.SmootherConfig(beta=args.pose_smooth_beta))

@@ -284,7 +284,8 @@ def main(argv=None):
 
   chi2_grid = parse_grid(args.chi2_grid)
   w_grid = parse_grid(args.w_grid)
-  rcfg = protocol._presets.synthetic_ransac(args.full_size)
+  from kfnet_tpu import configs
+  rcfg = configs.synthetic_ransac(args.full_size)
   out = {"stress": args.stress, "test_frames": args.test_frames,
          "eval_traj_offset": args.eval_traj_offset, "scenes": []}
   for s in scenes:

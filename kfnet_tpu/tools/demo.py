@@ -19,8 +19,7 @@ import numpy as np
 from kfnet_tpu.data import labels, synthetic
 from kfnet_tpu.eval import eval_sequence
 from kfnet_tpu.models import kfnet, oflownet, scoordnet
-from kfnet_tpu.pose import ransac
-from kfnet_tpu.train import objectives, trainer
+from kfnet_tpu.train import objectives
 
 
 # shared with tools/protocol.py (the multi-scene dress rehearsal)

@@ -97,7 +97,8 @@ def main(argv=None):
 
   cfg1 = dataclasses.replace(cfg, w_scale=1.0)
   series = calibrate.precompute_series(params, cfg1, imgs)
-  rcfg = protocol._presets.synthetic_ransac(args.full_size)
+  from kfnet_tpu import configs
+  rcfg = configs.synthetic_ransac(args.full_size)
   solver = eval_sequence.make_pose_solver(d["train"]["K"], config=rcfg)
   keys = jax.random.split(jax.random.key(0), imgs.shape[0])
 
@@ -117,12 +118,23 @@ def main(argv=None):
 
   zs, Vs = calibrate.measurement_maps(series)
   rows = [mode_report("measurement_only", zs, Vs)]
-  for tag, chi2, w in (("filtered_default", cfg.chi2_threshold, 1.0),
-                       ("filtered_2.37_w8", 2.37, 8.0),
-                       ("filtered_w64", 1.21, 64.0)):
+  # every filtered row's label EMBEDS its (chi2, w) so no row can drift
+  # from its name (the pre-relabel artifacts' "filtered_default" ran
+  # w=1 — the raw-dynamics harm regime under diagnosis — which stopped
+  # matching KFNetConfig's default once the calibrated serving point
+  # shipped). The paper point shows the mechanism at its largest; the
+  # serving point shows what the shipped config actually does; the
+  # w-sweep rows show the harm shrinking monotonically but not to zero
+  # (= the structural component pose smoothing addresses).
+  from kfnet_tpu.core import kalman
+  for tag, chi2, w in (
+      ("filtered_paper", kalman.CHI2_3DOF_P05, 1.0),
+      ("filtered_serving", cfg.chi2_threshold, cfg.w_scale),
+      ("filtered", 2.37, 8.0),
+      ("filtered", 1.21, 64.0)):
     xs, Ps = calibrate.filter_from_series(
         cfg1, series, jnp.float32(chi2), jnp.float32(w))
-    rows.append(mode_report(tag, xs, Ps))
+    rows.append(mode_report(f"{tag}_chi{chi2:.2f}_w{w:g}", xs, Ps))
 
   out = {"scene": s.name, "stress": args.stress,
          "test_frames": args.test_frames, "modes": rows}

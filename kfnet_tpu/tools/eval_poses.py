@@ -29,11 +29,16 @@ from kfnet_tpu.pose import metrics as pose_metrics
 from kfnet_tpu.pose import ransac
 
 
-def load_dump_sequence(seq_dir: str):
+def load_dump_sequence(seq_dir: str, keys: tuple[str, ...] | None = None):
   """Load one sequence's dumped frames (sorted by frame index).
 
   Returns dict of stacked arrays: coords (T, h, w, 3),
   covariance (T, h, w, 1), pose (T, 4, 4), pose_gt (T, 4, 4) | None.
+
+  keys: restrict to a subset (e.g. ("pose", "pose_gt") for pose-only
+  post-processing like smoothing) — decompressing the full coordinate/
+  covariance blobs of a 1000-frame dump costs tens of MB of npz inflate
+  that a few-KB pose pass does not need.
   """
   files = sorted(glob.glob(os.path.join(seq_dir, "frame-*.npz")))
   if not files:
@@ -44,11 +49,14 @@ def load_dump_sequence(seq_dir: str):
     # open lazily, and a 1000-frame sequence would exhaust the default
     # fd limit if all handles stayed live.
     with np.load(f) as fr:
-      frames.append({k: np.asarray(fr[k]) for k in fr.files})
-  out = {k: np.stack([fr[k] for fr in frames])
-         for k in ("coords", "covariance", "pose")}
-  out["pose_gt"] = (np.stack([fr["pose_gt"] for fr in frames])
-                    if "pose_gt" in frames[0] else None)
+      want = fr.files if keys is None else [k for k in keys if k in fr.files]
+      frames.append({k: np.asarray(fr[k]) for k in want})
+  stack_keys = ("coords", "covariance", "pose") if keys is None else tuple(
+      k for k in keys if k != "pose_gt" and k in frames[0])
+  out = {k: np.stack([fr[k] for fr in frames]) for k in stack_keys}
+  if keys is None or "pose_gt" in keys:
+    out["pose_gt"] = (np.stack([fr["pose_gt"] for fr in frames])
+                      if "pose_gt" in frames[0] else None)
   return out
 
 

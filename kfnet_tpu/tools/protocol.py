@@ -33,7 +33,6 @@ import numpy as np
 from kfnet_tpu.data import labels, synthetic
 from kfnet_tpu.eval import eval_sequence
 from kfnet_tpu.models import kfnet, oflownet, scoordnet
-from kfnet_tpu.pose import ransac
 from kfnet_tpu.train import objectives
 from kfnet_tpu.train.device_fit import fit_on_device
 
@@ -417,7 +416,12 @@ def main(argv=None):
   p.add_argument("--test_frames", type=int, default=48)
   p.add_argument("--sc_steps", type=int, default=1200)
   p.add_argument("--of_steps", type=int, default=1000)
-  p.add_argument("--joint_steps", type=int, default=200)
+  p.add_argument("--joint_steps", type=int, default=None,
+                 help="stage-3 steps (default 200; 400 under "
+                      "--full_size). An explicit value always wins — "
+                      "the old default-equality detection silently "
+                      "replaced an intentional '--joint_steps 200' "
+                      "under --full_size.")
   p.add_argument("--learning_rate", type=float, default=2e-3)
   p.add_argument("--stress", type=float, default=0.0,
                  help="per-frame measurement stress on the TEST stream "
@@ -463,9 +467,10 @@ def main(argv=None):
                       "acceptance-protocol dress rehearsal; ~2-3 h on a "
                       "TPU chip). Overrides size/step flags.")
   args = p.parse_args(argv)
+  joint_steps = 200 if args.joint_steps is None else args.joint_steps
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
             test_frames=args.test_frames, sc_steps=args.sc_steps,
-            of_steps=args.of_steps, joint_steps=args.joint_steps,
+            of_steps=args.of_steps, joint_steps=joint_steps,
             lr=args.learning_rate, work_dir=args.work_dir or None,
             stress=args.stress, chi2_threshold=args.chi2_threshold,
             w_scale=args.w_scale,
@@ -474,12 +479,15 @@ def main(argv=None):
             eval_only=args.eval_only)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
-              sc_steps=300, of_steps=250, joint_steps=50)
+              sc_steps=300, of_steps=250,
+              joint_steps=(50 if args.joint_steps is None
+                           else args.joint_steps))
   if args.full_size:
     kw.update(H=480, W=640, full_size=True, lr=3e-4,
               sc_steps=max(args.sc_steps, 3000),
               of_steps=max(args.of_steps, 2000),
-              joint_steps=400 if args.joint_steps == 200 else args.joint_steps)
+              joint_steps=(400 if args.joint_steps is None
+                           else args.joint_steps))
   scenes = DEFAULT_SCENES
   if args.seed_offset:
     scenes = tuple(dataclasses.replace(s, seed=s.seed + args.seed_offset)
