@@ -105,3 +105,16 @@ def test_kfnet_step_consistency_with_components():
   assert ok.any()  # an empty mask would make the check below vacuous
   np.testing.assert_array_less(
       np.asarray(P1)[ok], np.asarray(aux["V"])[ok] + 1e-6)
+
+
+def test_kfnet_config_adaptive_alpha_validation():
+  """(0,1) caps are rejected (a cap below 1 cannot inflate); exactly 1.0
+  is the documented no-op and must construct fine."""
+  import pytest
+
+  from kfnet_tpu.models import kfnet as kf
+  with pytest.raises(ValueError, match="cannot"):
+    kf.KFNetConfig(adaptive_alpha_max=0.5)
+  assert kf.KFNetConfig(adaptive_alpha_max=0.0).adaptive_alpha_max == 0.0
+  assert kf.KFNetConfig(adaptive_alpha_max=1.0).adaptive_alpha_max == 1.0
+  assert kf.KFNetConfig(adaptive_alpha_max=4.0).adaptive_alpha_max == 4.0
