@@ -70,3 +70,21 @@ def test_fused_trunk_batched_falls_back():
   c_ref, v_ref = scoordnet.apply(params, cfg_x, imgs)
   np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
   np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+
+def test_fused_trunk_ineligible_head_falls_back_to_serial():
+  """The fused loop always includes the head conv block; a config whose
+  head_channels is not a 128-multiple must fuse NOTHING (and still
+  produce serial-path numerics) rather than crash inside the Pallas
+  chain's tile assert at inference."""
+  cfg_x = dataclasses.replace(small_cfg("xla"), head_channels=96)
+  cfg_p = dataclasses.replace(small_cfg("pallas_fused"), head_channels=96)
+  n = len(cfg_x.channels)
+  assert scoordnet._fused_suffix_start(cfg_p) == n + 1  # nothing fuses
+  params = scoordnet.init(jax.random.key(1), cfg_x, (16, 16, 3))
+  img = jnp.asarray(
+      np.random.default_rng(2).uniform(size=(16, 16, 3)).astype(np.float32))
+  cx, vx = scoordnet.apply(params, cfg_x, img)
+  cp, vp = scoordnet.apply(params, cfg_p, img)
+  np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=1e-6)
