@@ -29,7 +29,8 @@ def bench_fn(fn, args, reps: int = 10) -> float:
 
 
 def run(height: int = 480, width: int = 640, frames: int = 32,
-        use_pallas: bool | None = None, reps: int = 3) -> dict:
+        use_pallas: bool | None = None, reps: int = 3,
+        tick: bool = False) -> dict:
   from kfnet_tpu.filter import sequence
   from kfnet_tpu.models import kfnet
 
@@ -133,6 +134,25 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   runb = jax.jit(lambda p, im: sequence.run_filter_batched(p, cfg, im))
   tb = bench_fn(runb, (params, batch_seqs), reps=reps)
   results["filtered_fps_batch4"] = B * frames / tb
+
+  if tick:
+    # Online serving latency: one FleetRelocalizer tick (filter step +
+    # per-slot PnP, fused into ONE dispatch + ONE packed download —
+    # DESIGN.md §5) on device-resident frames. This is the number an
+    # interactive multi-camera user sees per frame; host-numpy input adds
+    # the host→device transfer on top (tunnel-bound on this sandbox).
+    from kfnet_tpu.eval.online import FleetRelocalizer
+    fleet = FleetRelocalizer(params, cfg, K, batch_size=B)
+    tick_imgs = jnp.broadcast_to(img, (B,) + img.shape)
+    fleet.process(tick_imgs)   # first-tick compile
+    fleet.process(tick_imgs)   # steady-tick compile
+    times = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      for _ in range(5):
+        fleet.process(tick_imgs)  # syncs internally (packed download)
+      times.append((time.perf_counter() - t0) / 5)
+    results["fleet_tick_ms_b4"] = 1e3 * float(np.median(times))
   return results
 
 
@@ -149,7 +169,8 @@ def main(argv=None):
                       "small size), one JSON line per resolution")
   args = p.parse_args(argv)
   use_pallas = False if args.no_pallas else None
-  res = run(args.height, args.width, args.frames, use_pallas=use_pallas)
+  res = run(args.height, args.width, args.frames, use_pallas=use_pallas,
+            tick=args.serving)
   fmt = lambda r: json.dumps({k: (round(v, 3) if isinstance(v, float)
                                   else v) for k, v in r.items()})
   print(fmt(res))
@@ -157,7 +178,7 @@ def main(argv=None):
     for h, w in ((480, 640), (96, 128)):
       if (h, w) == (args.height, args.width):
         continue  # already measured above
-      print(fmt(run(h, w, args.frames, use_pallas=use_pallas)))
+      print(fmt(run(h, w, args.frames, use_pallas=use_pallas, tick=True)))
 
 
 if __name__ == "__main__":
