@@ -190,15 +190,25 @@ class FleetRelocalizer:
     # nothing to the device
     self._zero_mask = self._put(np.zeros(B, bool))
 
+    slot_sh = self._slot_sh
+
     def _solve_packed(x, P, rng):
       rng, sub = jax.random.split(rng)
       keys = jax.random.split(sub, B)
+      if slot_sh is not None:
+        # pin the per-slot keys to the slot sharding: generated inside the
+        # jitted step, their layout is otherwise left to the GSPMD
+        # partitioner, which may replicate and reshard them every tick
+        keys = jax.lax.with_sharding_constraint(keys, slot_sh)
       out = jax.vmap(
           lambda c, Pc, k: ransac.solve_pnp_from_maps(
               c, Pc, jnp.ones_like(Pc, dtype=bool), K_dev, k,
               stride=stride, config=rcfg))(x, P, keys)
       return rng, jnp.concatenate([
           out["T_wc"].reshape(B, 16).astype(jnp.float32),
+          # num_inliers rides the packed f32 download; f32 is integer-exact
+          # only to 2^24 — safe for any plausible grid (stride-8 @ 640x480
+          # = 4800 candidates) but a bound to respect if grids ever grow
           jnp.asarray(out["num_inliers"], jnp.float32)[:, None],
           jnp.asarray(out["inlier_ratio"], jnp.float32)[:, None]], axis=1)
 

@@ -83,7 +83,8 @@ def run_filter_first_jit(params, config, images, return_aux: bool = False):
 
 
 def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
-                              frame_source, chunk_size: int = 32):
+                              frame_source, chunk_size: int = 32,
+                              return_aux: bool = False):
   """Stream an arbitrarily long sequence through the jitted scan in
   fixed-shape chunks (one compilation, O(chunk) HBM), yielding WHOLE
   device-resident chunks: (xs (k, h, w, 3), Ps (k, h, w, 1)).
@@ -96,6 +97,11 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
 
   Args:
     frame_source: iterable of (H, W, 3) numpy/jnp frames.
+    return_aux: also yield the stacked per-step aux dict (consistency
+      mask, innovation stats — see ``kfnet.filter_step``) as a third
+      element. Frame 0 is measurement-only and has no filter step, so in
+      the FIRST yielded chunk the aux rows align with ``xs[1:]``; in
+      every later chunk they align with ``xs`` 1:1.
   """
   import numpy as np
 
@@ -112,34 +118,43 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
     imgs = stack(chunk)
     if first:
       # separate jitted entry (fixed chunk_size+1 shape → one compile)
-      xs, Ps, carry = run_filter_first_jit(params, config, imgs)
+      out = run_filter_first_jit(params, config, imgs,
+                                 return_aux=return_aux)
     else:
-      xs, Ps, carry = run_filter_jit(params, config, imgs, carry)
-    return xs, Ps, carry
+      out = run_filter_jit(params, config, imgs, carry,
+                           return_aux=return_aux)
+    if return_aux:
+      return out  # (xs, Ps, carry, auxs)
+    return out + (None,)
+
+  def emit(xs, Ps, auxs):
+    return (xs, Ps, auxs) if return_aux else (xs, Ps)
 
   for frame in frame_source:
     buf.append(frame)
     if first and len(buf) == chunk_size + 1:
       # first chunk holds one extra frame (frame 0 = measurement-only)
-      xs, Ps, carry = flush(buf, carry, True)
+      xs, Ps, carry, auxs = flush(buf, carry, True)
       first = False
       buf = []
-      yield xs, Ps
+      yield emit(xs, Ps, auxs)
     elif not first and len(buf) == chunk_size:
-      xs, Ps, carry = flush(buf, carry, False)
+      xs, Ps, carry, auxs = flush(buf, carry, False)
       buf = []
-      yield xs, Ps
+      yield emit(xs, Ps, auxs)
   if buf:
     # ragged tail: pad to chunk shape, then drop padded outputs.
     n = len(buf)
     if first:
       # whole sequence shorter than one chunk: single ragged compile
-      xs, Ps, _ = run_filter_first_jit(params, config, stack(buf))
-      yield xs, Ps
+      xs, Ps, _, auxs = flush(buf, None, True)
+      yield emit(xs, Ps, auxs)
     else:
       pad = [buf[-1]] * (chunk_size - n)
-      xs, Ps, _ = flush(buf + pad, carry, False)
-      yield xs[:n], Ps[:n]
+      xs, Ps, _, auxs = flush(buf + pad, carry, False)
+      yield emit(xs[:n], Ps[:n],
+                 None if auxs is None
+                 else jax.tree_util.tree_map(lambda a: a[:n], auxs))
 
 
 def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,
