@@ -26,12 +26,35 @@ from kfnet_tpu.utils import checkpoint as ckpt_lib
 def _scoordnet_config(meta) -> scoordnet.SCoordNetConfig:
   fn = (configs.full_scoordnet if meta.get("full_size")
         else configs.small_scoordnet)
-  return fn(tuple(meta["coord_offset"]), float(meta["coord_scale"]))
+  cfg = fn(tuple(meta["coord_offset"]), float(meta["coord_scale"]))
+  if meta.get("scoordnet_norm"):  # norm-ablation exports (tools/norm_study)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, norm=meta["scoordnet_norm"])
+  return cfg
 
 
 def _oflownet_config(meta) -> oflownet.OFlowNetConfig:
   return (configs.full_oflownet() if meta.get("full_size")
           else configs.small_oflownet())
+
+
+def _load_params_cast(path: str, template):
+  """load_params honoring a release export's ``params_dtype`` (the bf16
+  compact format of tools/export_release.py): restore as-saved, check the
+  tree structure, cast each leaf back to the template's dtype."""
+  meta = ckpt_lib.load_meta(path) or {}
+  if meta.get("params_dtype") in (None, "float32"):
+    return ckpt_lib.load_params(path, template=template)
+  import jax.numpy as jnp
+  raw = ckpt_lib.load_params_values(path)
+  ref = jax.tree_util.tree_structure(template)
+  got = jax.tree_util.tree_structure(raw)
+  if ref != got:
+    raise ValueError(f"release export at {path} does not match the "
+                     f"config's param structure:\n saved: {got}\n "
+                     f"want:  {ref}")
+  return jax.tree_util.tree_map(
+      lambda t, x: jnp.asarray(x, t.dtype), template, raw)
 
 
 def load(root: str, scene: str = "sceneA"):
@@ -51,7 +74,7 @@ def load(root: str, scene: str = "sceneA"):
                             oflownet=_oflownet_config(meta))
     shape = (int(meta["height"]), int(meta["width"]), 3)
     template = kfnet.init(jax.random.key(0), cfg, shape)
-    return cfg, ckpt_lib.load_params(stage3, template=template)
+    return cfg, _load_params_cast(stage3, template)
   return load_stage12(root, scene)
 
 
@@ -81,8 +104,6 @@ def load_stage12(root: str, scene: str = "sceneA"):
   shape = (int(meta1["height"]), int(meta1["width"]), 3)
   template = kfnet.init(jax.random.key(0), cfg, shape)
   return cfg, {
-      "scoordnet": ckpt_lib.load_params(stage1,
-                                        template=template["scoordnet"]),
-      "oflownet": ckpt_lib.load_params(stage2,
-                                       template=template["oflownet"]),
+      "scoordnet": _load_params_cast(stage1, template["scoordnet"]),
+      "oflownet": _load_params_cast(stage2, template["oflownet"]),
   }

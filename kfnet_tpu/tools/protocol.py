@@ -125,7 +125,7 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
                    sc_steps=1200, of_steps=1000, joint_steps=200,
                    lr=2e-3, scenes=DEFAULT_SCENES, log=print,
                    full_size=False, work_dir=None, strict_cache=False,
-                   eval_traj_offset=0):
+                   eval_traj_offset=0, scoordnet_norm=None):
   """Stages 1–3 of the protocol (training; cached per stage in work_dir).
 
   Returns (data, of, of_train_scenes, joint): per-scene rendered data,
@@ -141,6 +141,13 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
           for s in scenes}
   sc_cfg_fn = (_presets.full_scoordnet if full_size
                else _presets.small_scoordnet)
+  if scoordnet_norm is not None:
+    # normalization ablation (e.g. norm="none" ≈ the reference's plain
+    # conv+ReLU trunk — see tools/norm_study.py); stage names do NOT
+    # encode the norm, so point work_dir at a dedicated cache dir
+    base_fn = sc_cfg_fn
+    sc_cfg_fn = lambda mean, std: dataclasses.replace(  # noqa: E731
+        base_fn(mean, std), norm=scoordnet_norm)
   of_cfg_fn = (oflownet.OFlowNetConfig if full_size
                else _presets.small_oflownet)
   # batch/chunk mirror demo --full_size (proven at 640x480 on one chip)
@@ -167,6 +174,7 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
             tag=f"stage1[{s.name}]", log=log)), strict=strict_cache,
         meta={"scene": s.name, "seed": s.seed, "height": H, "width": W,
               "full_size": bool(full_size),
+              "scoordnet_norm": cfg.norm,
               "coord_offset": [float(x) for x in mean],
               "coord_scale": float(std)})
     sc[s.name] = (cfg, trained)
@@ -245,6 +253,7 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
           strict=strict_cache,
           meta={"scene": s.name, "seed": s.seed, "height": H, "width": W,
                 "full_size": bool(full_size),
+                "scoordnet_norm": cfg.scoordnet.norm,
                 "coord_offset": list(cfg.scoordnet.coord_offset),
                 "coord_scale": float(cfg.scoordnet.coord_scale)})
     joint[s.name] = (cfg, params)
@@ -370,7 +379,7 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                  full_size=False, work_dir=None, stress=0.0,
                  chi2_threshold=None, w_scale=None,
                  adaptive_alpha_max=None, eval_traj_offset=0,
-                 eval_only=False):
+                 eval_only=False, scoordnet_norm=None):
   """Full protocol = prepare_stages (cached training) + evaluate_scenes.
 
   full_size=True uses the flagship 23.6M-param bf16 SCoordNet and default
@@ -387,7 +396,8 @@ def run_protocol(H=96, W=128, train_frames=48, test_frames=48,
                 test_frames=test_frames, sc_steps=sc_steps,
                 of_steps=of_steps, joint_steps=joint_steps, lr=lr,
                 log=log, full_size=full_size, work_dir=work_dir,
-                eval_traj_offset=eval_traj_offset)
+                eval_traj_offset=eval_traj_offset,
+                scoordnet_norm=scoordnet_norm)
   eval_kw = dict(full_size=full_size, log=log, stress=stress,
                  chi2_threshold=chi2_threshold, w_scale=w_scale,
                  adaptive_alpha_max=adaptive_alpha_max)
@@ -462,6 +472,12 @@ def main(argv=None):
                  help="strict-cache, one-scene-at-a-time evaluation "
                       "(required for long statistical-power test "
                       "sequences at full size — see run_protocol)")
+  p.add_argument("--scoordnet_norm", default=None,
+                 choices=("group", "none"),
+                 help="override SCoordNet trunk normalization (ablation; "
+                      "'none' ≈ the reference's plain conv+ReLU trunk). "
+                      "Use a dedicated --work_dir: stage cache names do "
+                      "not encode the norm")
   p.add_argument("--full_size", action="store_true",
                  help="flagship 23.6M-param bf16 nets at 640x480 (the "
                       "acceptance-protocol dress rehearsal; ~2-3 h on a "
@@ -476,7 +492,7 @@ def main(argv=None):
             w_scale=args.w_scale,
             adaptive_alpha_max=args.adaptive_alpha_max,
             eval_traj_offset=args.eval_traj_offset,
-            eval_only=args.eval_only)
+            eval_only=args.eval_only, scoordnet_norm=args.scoordnet_norm)
   if args.fast:
     kw.update(H=48, W=64, train_frames=24, test_frames=16,
               sc_steps=300, of_steps=250,

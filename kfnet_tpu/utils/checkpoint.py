@@ -95,6 +95,38 @@ def export_params(directory: str, params, meta: dict | None = None):
     save_meta(directory, meta)
 
 
+def load_params_values(path: str, dtype=None):
+  """Template-free restore of an export's params via the checkpoint's own
+  saved metadata (shape/dtype), as plain host arrays.
+
+  Unlike ``load_params(path, template=None)`` this works across backends:
+  a TPU-saved checkpoint carries device names in its saved shardings, and
+  a raw template-free restore on a CPU-only host fails looking them up;
+  restoring against abstract ``ShapeDtypeStruct`` targets does not.
+  Used by the value-level cache manifest (tools/cache_manifest.py — the
+  raw OCDBT files embed per-write UUIDs, so file hashes can never match
+  across identical re-exports) and the release exporter."""
+  import jax
+
+  path = os.path.abspath(path)
+  for sub in ("params", os.path.join("export", "params"), ""):
+    p = os.path.join(path, sub) if sub else path
+    if os.path.isdir(p) and os.path.exists(
+        os.path.join(p, "_CHECKPOINT_METADATA")):
+      ckptr = ocp.StandardCheckpointer()
+      md = ckptr.metadata(p).item_metadata
+      tree = getattr(md, "tree", md)
+      # a CONCRETE local sharding (deserialization requires one; the
+      # saved sharding may name devices of another backend entirely)
+      sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+      target = jax.tree_util.tree_map(
+          lambda m: jax.ShapeDtypeStruct(tuple(m.shape), dtype or m.dtype,
+                                         sharding=sh),
+          tree)
+      return ckptr.restore(p, target=target)
+  raise FileNotFoundError(f"no orbax export under {path!r}")
+
+
 def _manager_steps(path: str):
   try:
     return sorted(int(d) for d in os.listdir(path) if d.isdigit())

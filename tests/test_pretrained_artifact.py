@@ -64,3 +64,40 @@ def test_stage1_plus_stage2_compose_without_stage3():
       static_argnums=())(params, data["images"])
   assert np.all(np.isfinite(np.asarray(xs)))
   assert np.all(np.asarray(Ps) > 0)
+
+
+FULL_ROOT = os.path.join(os.path.dirname(__file__), os.pardir,
+                         "artifacts", "pretrained_full")
+
+
+def test_full_size_artifact_is_shipped():
+  """Round-4: FULL-SIZE (640x480, 23.6M-param) weights ship too, in the
+  bf16 release format (tools/export_release.py)."""
+  assert os.path.isdir(FULL_ROOT)
+
+
+@pytest.mark.slow
+def test_full_size_artifact_loads_and_filters():
+  """The bf16 full-size release loads through pretrained.load (restored
+  + cast back to the config dtypes) and one filter step runs clean on
+  CPU. Accuracy at full size is covered by the TPU protocol reports;
+  this guards the fresh-clone load path."""
+  import jax.numpy as jnp
+
+  from kfnet_tpu import pretrained
+  from kfnet_tpu.models import kfnet
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+
+  cfg, params = pretrained.load(FULL_ROOT, scene="sceneA")
+  meta = ckpt_lib.load_meta(os.path.join(FULL_ROOT, "stage3_sceneA"))
+  assert meta["params_dtype"] == "bfloat16"
+  assert meta["full_size"] and int(meta["height"]) == 480
+  # params restored to the template's dtypes (f32 master weights)
+  leaves = jax.tree_util.tree_leaves(params)
+  assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+  rng = np.random.default_rng(0)
+  img = jnp.asarray(rng.uniform(0, 1, (480, 640, 3)).astype(np.float32))
+  z, V = kfnet.measure(params, cfg, img)
+  assert z.shape == (60, 80, 3) and V.shape == (60, 80, 1)
+  assert np.isfinite(np.asarray(z)).all()
+  assert float(jnp.min(V)) > 0

@@ -234,6 +234,65 @@ def test_fleet_relocalizer_serving_tick():
   assert B / dt > 40  # loose floor: per-tick dispatch costs ~5-10ms here
 
 
+def test_online_relocalizer_single_stream_tick():
+  """Single-stream OnlineRelocalizer on hardware at full size (round-3
+  verdict item 5: the one-camera API was CPU-tested only): lifecycle
+  (first tick, steady tick, reset), filter-state parity with a B=1
+  fleet fed the same frames, and a recorded steady-state tick latency
+  with a floor guard."""
+  from kfnet_tpu.eval.online import FleetRelocalizer, OnlineRelocalizer
+  from kfnet_tpu.models import kfnet
+
+  cfg = kfnet.KFNetConfig(use_pallas=True)
+  params = kfnet.init(jax.random.key(0), cfg, (480, 640, 3))
+  K = jnp.asarray([[585., 0, 319.5], [0, 585., 239.5], [0, 0, 1]],
+                  jnp.float32)
+  rng = np.random.default_rng(0)
+  frames = jax.device_put(
+      rng.uniform(0, 1, (3, 480, 640, 3)).astype(np.float32))
+
+  reloc = OnlineRelocalizer(params, cfg, K)
+  pose0, info0 = reloc.process(frames[0])
+  assert pose0.shape == (4, 4)
+  assert info0["consistent_frac"] == 0.0  # first frame: fresh everywhere
+  pose1, info1 = reloc.process(frames[1])
+  assert np.all(np.isfinite(pose1))
+  assert info1["num_inliers"] >= 0
+
+  # filter-state parity with a B=1 fleet fed the same two frames: the
+  # fused single-stream tick and the vmapped fleet tick must implement
+  # the SAME filter semantics (tolerance = compile-order variance class)
+  single_state = jax.tree_util.tree_map(jnp.copy, reloc.state)
+  fleet = FleetRelocalizer(params, cfg, K, batch_size=1)
+  fleet.process(frames[0][None])
+  _, finfo1 = fleet.process(frames[1][None])
+  fleet_state = jax.tree_util.tree_map(jnp.copy, fleet.state)
+  np.testing.assert_allclose(np.asarray(single_state[0]),
+                             np.asarray(fleet_state[0][0]), atol=3e-5)
+  np.testing.assert_allclose(np.asarray(single_state[1]),
+                             np.asarray(fleet_state[1][0]),
+                             rtol=3e-5, atol=1e-6)
+  assert abs(info1["consistent_frac"]
+             - float(finfo1["consistent_frac"][0])) < 1e-3
+
+  # reset drops the temporal state: the next frame is a first frame again
+  reloc.reset()
+  _, info2 = reloc.process(frames[2])
+  assert info2["consistent_frac"] == 0.0
+
+  # steady-state tick latency (post-compile), pose solve included
+  reloc.process(frames[1])  # back on the steady path
+  t0 = time.perf_counter()
+  reps = 5
+  for _ in range(reps):
+    pose, _ = reloc.process(frames[1])
+  dt = (time.perf_counter() - t0) / reps
+  print(f"online tick: {1e3*dt:.1f} ms single stream ({1/dt:.0f} fps)")
+  # loose floor: the B=4 fleet tick measured 53.6 ms (round 3); a B=1
+  # tick does strictly less work per dispatch
+  assert dt < 0.08, dt
+
+
 def test_streaming_with_pose_e2e_floor():
   """Chunked streaming + per-chunk PnP (eval_sequence_streaming's shape)
   on device-resident frames: the number a long-video user sees. Floor is
