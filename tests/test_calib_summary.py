@@ -1,0 +1,73 @@
+"""tools/calib_summary.py — aggregation of calibration artifacts.
+
+The CALIBRATION.md tables (CI-wins / harms / sum-delta per grid point
+over the 24-cell design) must be mechanically derivable from the
+checked-in JSONs; these tests pin the aggregation conventions: CI
+classification, outdoor 20x scale normalization, and the merging of
+artifacts written by calibrate.py generations that record different
+no-op knob keys (alpha_max=0 / smooth_beta=0).
+"""
+
+import json
+
+from kfnet_tpu.tools import calib_summary
+
+
+def _pt(dt, lo, hi, rot=-0.01, rlo=-0.02, rhi=-0.005, **extra):
+  return {"delta_translation_mean": dt,
+          "delta_translation_mean_ci95": [lo, hi],
+          "delta_rotation_mean": rot,
+          "delta_rotation_mean_ci95": [rlo, rhi],
+          "chi2_threshold": 2.37, "w_scale": 16.0, **extra}
+
+
+def _artifact(tmp_path, name, scenes):
+  path = tmp_path / name
+  path.write_text(json.dumps({"scenes": scenes}))
+  return str(path)
+
+
+def test_ci_classification_and_scale_normalization(tmp_path):
+  f = _artifact(tmp_path, "CALIBRATION_SWEEP_S1.json", [
+      # win: CI entirely below 0
+      {"scene": "sceneA", "points": [_pt(-0.010, -0.015, -0.005)]},
+      # harm: CI entirely above 0
+      {"scene": "heldout", "points": [_pt(0.009, 0.004, 0.014)]},
+      # neutral + outdoor scale normalization (0.4 m / 20 = 20 mm)
+      {"scene": "outdoor", "points": [_pt(0.400, -0.100, 0.900)]},
+  ])
+  rows = calib_summary.summarize(calib_summary.load_cells([f]))
+  assert len(rows) == 1
+  row = rows[0]
+  assert (row["ci_wins"], row["neutral"], row["ci_harms"]) == (1, 1, 1)
+  assert row["worst_harm_mm"] == 9.0
+  assert row["worst_harm_cell"] == "S1/heldout"
+  # sum: -10 + 9 + 20 mm
+  assert abs(row["sum_delta_mm"] - 19.0) < 1e-6
+  assert row["rot_wins"] == 3 and row["rot_harms"] == 0
+
+
+def test_noop_knob_keys_merge_across_generations(tmp_path):
+  old = _artifact(tmp_path, "old.json", [
+      {"scene": "sceneA", "points": [_pt(-0.010, -0.015, -0.005)]}])
+  new = _artifact(tmp_path, "new.json", [
+      {"scene": "sceneA", "points": [
+          _pt(-0.010, -0.015, -0.005, alpha_max=0.0, adaptive_stat="s",
+              smooth_beta=0.0, base="filtered")]}])
+  rows = calib_summary.summarize(calib_summary.load_cells([old, new]))
+  assert len(rows) == 1 and rows[0]["cells"] == 2
+  # a real smoothing point stays distinct
+  sm = _artifact(tmp_path, "sm.json", [
+      {"scene": "sceneA", "points": [
+          _pt(-0.011, -0.016, -0.006, smooth_beta=0.4, base="filtered")]}])
+  rows = calib_summary.summarize(calib_summary.load_cells([old, sm]))
+  assert len(rows) == 2
+
+
+def test_per_cell_table_marks(tmp_path):
+  f = _artifact(tmp_path, "CALIBRATION_SWEEP_S2_STRESS.json", [
+      {"scene": "sceneB", "points": [_pt(-0.0062, -0.013, 0.001)]}])
+  cells = calib_summary.load_cells(f for f in [f])
+  conds, rows = calib_summary.per_cell_table(cells, "chi2=2.37,w=16")
+  assert conds == ["S2_STRESS"]
+  assert rows["sceneB"]["S2_STRESS"] == "-6.2~"
