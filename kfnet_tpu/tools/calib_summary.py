@@ -171,12 +171,42 @@ def per_cell_table(cells, spec):
   return conds, rows
 
 
+def summary_markdown(summary):
+  """The CALIBRATION.md aggregate table, as GitHub markdown lines."""
+  lines = ["| point | CI-wins | neutral | CI-harms | worst harm "
+           "| Σ delta | rot wins/harms |",
+           "|---|---|---|---|---|---|---|"]
+  for row in summary:
+    worst = (f"+{row['worst_harm_mm']:.1f} mm"
+             if row["worst_harm_mm"] is not None
+             else f"{row['worst_cell_mm']:+.1f} mm~")
+    lines.append(
+        f"| ({row['point']}) | {row['ci_wins']} | {row['neutral']} "
+        f"| {row['ci_harms']} | {worst} | {row['sum_delta_mm']:+.0f} mm "
+        f"| {row['rot_wins']} / {row['rot_harms']} |")
+  return lines
+
+
+def per_cell_markdown(conds, rows):
+  """The CALIBRATION.md per-cell grid (scene x condition), markdown."""
+  lines = ["| scene | " + " | ".join(conds) + " |",
+           "|---|" + "---|" * len(conds)]
+  for scene in SCENE_SCALE:
+    if scene in rows:
+      lines.append("| " + scene + " | " +
+                   " | ".join(rows[scene].get(c, "—") for c in conds) +
+                   " |")
+  return lines
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("files", nargs="+")
   p.add_argument("--point", default="",
                  help="per-cell table for one grid point, e.g. "
                       "'chi2=2.37,w=16'")
+  p.add_argument("--markdown", action="store_true",
+                 help="emit the CALIBRATION.md tables as GitHub markdown")
   p.add_argument("--report", default="")
   args = p.parse_args(argv)
 
@@ -185,15 +215,19 @@ def main(argv=None):
   n_conds = len({c for c, *_ in cells})
   print(f"# {len(cells)} cells ({n_conds} conditions x "
         f"{len(cells) // max(n_conds, 1)} scenes)")
-  hdr = ("point", "wins", "neutral", "harms", "worst_harm_mm",
-         "sum_delta_mm", "rot w/h")
-  print(" | ".join(hdr))
-  for row in summary:
-    print(" | ".join(str(x) for x in (
-        row["point"], row["ci_wins"], row["neutral"], row["ci_harms"],
-        row["worst_harm_mm"] if row["worst_harm_mm"] is not None
-        else f"({row['worst_cell_mm']}~)",
-        row["sum_delta_mm"], f"{row['rot_wins']}/{row['rot_harms']}")))
+  if args.markdown:
+    for line in summary_markdown(summary):
+      print(line)
+  else:
+    hdr = ("point", "wins", "neutral", "harms", "worst_harm_mm",
+           "sum_delta_mm", "rot w/h")
+    print(" | ".join(hdr))
+    for row in summary:
+      print(" | ".join(str(x) for x in (
+          row["point"], row["ci_wins"], row["neutral"], row["ci_harms"],
+          row["worst_harm_mm"] if row["worst_harm_mm"] is not None
+          else f"({row['worst_cell_mm']}~)",
+          row["sum_delta_mm"], f"{row['rot_wins']}/{row['rot_harms']}")))
 
   out = {"summary": summary}
   if args.point:
@@ -202,11 +236,15 @@ def main(argv=None):
                        "rows": rows}
     print(f"\n# per-cell mean paired dT (mm) at {args.point} "
           "(* win, ! harm, ~ neutral)")
-    print("scene | " + " | ".join(conds))
-    for scene in SCENE_SCALE:
-      if scene in rows:
-        print(scene + " | " +
-              " | ".join(rows[scene].get(c, "-") for c in conds))
+    if args.markdown:
+      for line in per_cell_markdown(conds, rows):
+        print(line)
+    else:
+      print("scene | " + " | ".join(conds))
+      for scene in SCENE_SCALE:
+        if scene in rows:
+          print(scene + " | " +
+                " | ".join(rows[scene].get(c, "-") for c in conds))
   if args.report:
     with open(args.report, "w") as f:
       json.dump(out, f, indent=2)

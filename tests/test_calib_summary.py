@@ -64,6 +64,24 @@ def test_noop_knob_keys_merge_across_generations(tmp_path):
   assert len(rows) == 2
 
 
+def test_markdown_tables(tmp_path):
+  f = _artifact(tmp_path, "CALIBRATION_SWEEP_S1.json", [
+      {"scene": "sceneA", "points": [_pt(-0.010, -0.015, -0.005)]},
+      {"scene": "heldout", "points": [_pt(0.009, 0.004, 0.014)]},
+  ])
+  cells = calib_summary.load_cells([f])
+  rows = calib_summary.summarize(cells)
+  md = calib_summary.summary_markdown(rows)
+  assert md[0].startswith("| point |") and md[1].startswith("|---|")
+  assert len(md) == 3
+  # worst harm formatted as +mm; sum delta signed; rot wins/harms paired
+  assert "+9.0 mm" in md[2] and "| 2 / 0 |" in md[2]
+  conds, grid = calib_summary.per_cell_table(cells, "chi2=2.37,w=16")
+  gmd = calib_summary.per_cell_markdown(conds, grid)
+  assert gmd[0] == "| scene | S1 |"
+  assert any(line.startswith("| heldout | +9.0!") for line in gmd)
+
+
 def test_per_cell_table_marks(tmp_path):
   f = _artifact(tmp_path, "CALIBRATION_SWEEP_S2_STRESS.json", [
       {"scene": "sceneB", "points": [_pt(-0.0062, -0.013, 0.001)]}])
