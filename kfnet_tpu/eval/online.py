@@ -149,6 +149,16 @@ class FleetRelocalizer:
       fleet = FleetRelocalizer(params, config, K, batch_size=8)
       poses, info = fleet.process(frames)            # (B, H, W, 3)
       poses, info = fleet.process(frames, reset=[False]*7 + [True])
+
+  ``pipeline_depth=d`` (default 0) double-buffers the tick: ``process``
+  dispatches frame t and returns the results of frame t−d, so the host's
+  result download overlaps the device's compute instead of serializing
+  with it. Steady-state throughput becomes max(compute, download) rather
+  than compute + round trip — on a remote/tunneled device that round
+  trip dominates the tick (tools/profile_tick.py) and pipelining hides
+  it entirely, at the cost of d ticks of result latency. The first d
+  calls return ``(None, {"pending": True, ...})``; ``flush()`` drains
+  the tail when the stream ends.
   """
 
   def __init__(self, params, config: kfnet.KFNetConfig, K,
@@ -156,7 +166,8 @@ class FleetRelocalizer:
                ransac_config: ransac.RansacConfig | None = None,
                stride: int = 8, solve_pose: bool = True,
                seed: int = 0, mesh=None, axis_name: str = "data",
-               smoother: smoothing.SmootherConfig | None = None):
+               smoother: smoothing.SmootherConfig | None = None,
+               pipeline_depth: int = 0):
     self._params = params
     self._B = batch_size
     # independent per-slot pose smoothers (streams never interact)
@@ -170,6 +181,10 @@ class FleetRelocalizer:
     self._carry = None
     self._rng = jax.random.key(seed)
     self._ticks = 0
+    if pipeline_depth < 0:
+      raise ValueError(f"pipeline_depth must be >= 0, got {pipeline_depth}")
+    self._depth = pipeline_depth
+    self._pending: list = []  # [(tick_idx, packed_dev, reset_mask)]
     self._slot_sh = None
     if mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
@@ -244,8 +259,10 @@ class FleetRelocalizer:
 
   def reset(self):
     """Drop ALL slots' temporal state (per-slot resets go through
-    ``process(..., reset=mask)``)."""
+    ``process(..., reset=mask)``). In-flight pipelined results are
+    discarded — ``flush()`` first to retrieve them."""
     self._carry = None
+    self._pending.clear()
     if self._smoothers is not None:
       for sm in self._smoothers:
         sm.reset()
@@ -270,12 +287,17 @@ class FleetRelocalizer:
 
     info: per-slot arrays — consistent_frac (B,), and num_inliers /
     inlier_ratio (B,) when pose solving is enabled.
+
+    With ``pipeline_depth=d > 0`` the returned results are those of tick
+    t−d (``info["tick"]`` says which); the first d calls return
+    ``(None, {"pending": True, ...})`` while the pipeline fills.
     """
     images = self._put(np.asarray(images) if not isinstance(images, jax.Array)
                        else images)
     if images.shape[0] != self._B:
       raise ValueError(f"expected batch {self._B}, got {images.shape[0]}")
-    info: dict = {"tick": self._ticks}
+    tick = self._ticks
+    mask = None
     if self._carry is None:
       self._carry, self._rng, packed = self._first_fn(
           self._params, images, self._rng)
@@ -284,14 +306,32 @@ class FleetRelocalizer:
         mask_dev = self._zero_mask
       else:
         mask = np.asarray(reset, bool)
-        if self._smoothers is not None:
-          for b in np.flatnonzero(mask):
-            self._smoothers[b].reset()
         mask_dev = self._put(mask)
       self._carry, self._rng, packed = self._step_fn(
           self._params, self._carry, images, mask_dev, self._rng)
     self._ticks += 1
+    # the sync of an older tick's packed result below overlaps with the
+    # device compute of the step just dispatched (pipeline_depth > 0)
+    self._pending.append((tick, packed, mask))
+    if len(self._pending) <= self._depth:
+      return None, {"tick": tick, "pending": True, "lag": self._depth}
+    return self._finalize(*self._pending.pop(0))
+
+  def flush(self):
+    """Drain in-flight pipelined ticks -> list of (poses, info), oldest
+    first (empty when ``pipeline_depth=0`` or nothing is pending)."""
+    out = [self._finalize(*entry) for entry in self._pending]
+    self._pending.clear()
+    return out
+
+  def _finalize(self, tick, packed, mask):
     packed = np.asarray(packed)  # the tick's single host sync
+    info: dict = {"tick": tick}
+    # a slot's smoother restarts at the tick whose frame carried the
+    # reset — applied here so pipelined results stay order-consistent
+    if mask is not None and self._smoothers is not None:
+      for b in np.flatnonzero(mask):
+        self._smoothers[b].reset()
     info["consistent_frac"] = np.ascontiguousarray(packed[:, 0])
     if not self._solve:
       return None, info

@@ -102,6 +102,57 @@ def test_fleet_pose_solve_and_mesh():
   assert len(x.addressable_shards) == 8
 
 
+def test_fleet_pipelined_matches_sync_shifted():
+  """pipeline_depth=1: identical per-tick results, delivered one call
+  late; flush() drains the tail; reset() discards in-flight results."""
+  from kfnet_tpu.eval.online import FleetRelocalizer
+  from kfnet_tpu.pose import smoothing
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(9), cfg, tc.IMG)
+  streams = [tc.random_images(5, seed=70 + b) for b in range(2)]
+  K = np.asarray([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+  rcfg = ransac.RansacConfig(num_hypotheses=16, top_k=32)
+  scfg = smoothing.SmootherConfig(beta=0.4)
+  resets = [None, None, np.array([False, True]), None, None]
+
+  def run(depth):
+    fleet = FleetRelocalizer(params, cfg, K, batch_size=2, seed=11,
+                             ransac_config=rcfg, smoother=scfg,
+                             pipeline_depth=depth)
+    out = []
+    for t in range(5):
+      tick = np.stack([np.asarray(s[t]) for s in streams])
+      poses, info = fleet.process(tick, reset=resets[t])
+      if poses is None:
+        assert info["pending"] and info["lag"] == depth
+      else:
+        out.append((info["tick"], poses, info))
+    for poses, info in fleet.flush():
+      out.append((info["tick"], poses, info))
+    return out
+
+  sync_out = run(0)
+  pipe_out = run(1)
+  assert len(sync_out) == len(pipe_out) == 5
+  for (ts, ps, infs), (tp, pp, infp) in zip(sync_out, pipe_out):
+    assert ts == tp
+    np.testing.assert_allclose(pp, ps, atol=1e-9)
+    np.testing.assert_allclose(infp["consistent_frac"],
+                               infs["consistent_frac"], atol=1e-7)
+
+  # reset() discards pending results
+  fleet = FleetRelocalizer(params, cfg, K, batch_size=2, seed=11,
+                           ransac_config=rcfg, pipeline_depth=1)
+  tick = np.stack([np.asarray(s[0]) for s in streams])
+  poses, info = fleet.process(tick)
+  assert poses is None and info["pending"]
+  fleet.reset()
+  assert fleet.flush() == []
+  poses, info = fleet.process(tick)  # fresh session, pipeline refills
+  assert poses is None and info["tick"] == 1
+
+
 def test_online_smoother_reduces_scatter_and_resets():
   """OnlineRelocalizer(smoother=...): identical filter state, smoothed
   output trajectory; reset() drops the smoother history too."""
