@@ -77,19 +77,20 @@ def test_full_size_artifact_is_shipped():
 
 
 @pytest.mark.slow
-def test_full_size_artifact_loads_and_filters():
-  """The bf16 full-size release loads through pretrained.load (restored
-  + cast back to the config dtypes) and one filter step runs clean on
-  CPU. Accuracy at full size is covered by the TPU protocol reports;
-  this guards the fresh-clone load path."""
+@pytest.mark.parametrize("scene", ["sceneA", "outdoor_train"])
+def test_full_size_artifact_loads_and_filters(scene):
+  """The bf16 full-size releases (indoor + outdoor flagship) load through
+  pretrained.load (restored + cast back to the config dtypes) and one
+  measurement forward runs clean on CPU. Accuracy at full size is covered
+  by the TPU protocol reports; this guards the fresh-clone load path."""
   import jax.numpy as jnp
 
   from kfnet_tpu import pretrained
   from kfnet_tpu.models import kfnet
   from kfnet_tpu.utils import checkpoint as ckpt_lib
 
-  cfg, params = pretrained.load(FULL_ROOT, scene="sceneA")
-  meta = ckpt_lib.load_meta(os.path.join(FULL_ROOT, "stage3_sceneA"))
+  cfg, params = pretrained.load(FULL_ROOT, scene=scene)
+  meta = ckpt_lib.load_meta(os.path.join(FULL_ROOT, f"stage3_{scene}"))
   assert meta["params_dtype"] == "bfloat16"
   assert meta["full_size"] and int(meta["height"]) == 480
   # params restored to the template's dtypes (f32 master weights)
