@@ -53,6 +53,20 @@ def _load_params_cast(path: str, template):
     raise ValueError(f"release export at {path} does not match the "
                      f"config's param structure:\n saved: {got}\n "
                      f"want:  {ref}")
+  # shape check too: an export from a different-geometry stage has the
+  # SAME tree structure, and without this it would load silently and
+  # fail much later inside apply with an opaque conv shape error.
+  t_leaves = jax.tree_util.tree_leaves_with_path(template)
+  r_leaves = jax.tree_util.tree_leaves(raw)
+  bad = [f"  {jax.tree_util.keystr(kp)}: saved {tuple(x.shape)}, "
+         f"want {tuple(t.shape)}"
+         for (kp, t), x in zip(t_leaves, r_leaves)
+         if tuple(t.shape) != tuple(x.shape)]
+  if bad:
+    raise ValueError(
+        f"release export at {path} does not match the config's param "
+        "shapes (wrong-geometry export?):\n" + "\n".join(bad[:8]) +
+        ("" if len(bad) <= 8 else f"\n  … and {len(bad) - 8} more"))
   return jax.tree_util.tree_map(
       lambda t, x: jnp.asarray(x, t.dtype), template, raw)
 

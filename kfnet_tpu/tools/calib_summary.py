@@ -39,13 +39,13 @@ POINT_KEYS = ("chi2_threshold", "w_scale", "alpha_max", "adaptive_stat",
 
 
 def _label(path):
-  name = os.path.basename(path)
-  name = name.replace(".json", "")
-  for pre in ("CALIBRATION_SWEEP_", "CALIBRATION_ADAPTIVE_",
-              "CALIBRATION_ADAPTIVEV_", "CALIBRATION_SMOOTH_FRESH_",
-              "CALIBRATION_SMOOTH_", "CALIBRATION_"):
-    if name.startswith(pre):
-      return name[len(pre):]
+  """Condition label for a file: the artifact name minus the common
+  ``CALIBRATION_`` prefix. The family (SWEEP/ADAPTIVE/SMOOTH/…) stays in
+  the label so mixing families on one command line can never merge
+  unrelated conditions into the same per-cell column."""
+  name = os.path.basename(path).replace(".json", "")
+  if name.startswith("CALIBRATION_"):
+    return name[len("CALIBRATION_"):]
   return name
 
 
@@ -131,12 +131,18 @@ def summarize(cells):
 
 
 def _match(pid_str, spec):
-  """spec like 'chi2=2.37,w=16' or 'base=filtered,beta=0.4'."""
+  """spec like 'chi2=2.37,w=16' or 'chi2=2.37,w=16,base=filtered,beta=0.4'.
+
+  EXACT key-set match against the canonical point id: the spec must name
+  every knob the point records (after ``_point_id`` drops no-op knobs)
+  and nothing else. Subset matching would let e.g. 'chi2=4.64,w=1' match
+  every adaptive alpha_max row too, and the per-cell table would then
+  silently keep whichever matching point iterated last."""
   want = dict(kv.split("=") for kv in spec.split(","))
   have = dict(kv.split("=") for kv in pid_str.replace(" ", "").split(","))
+  if set(want) != set(have):
+    return False
   for k, v in want.items():
-    if k not in have:
-      return False
     if _isnum(have[k]) and _isnum(v):
       if abs(float(have[k]) - float(v)) > 1e-9:
         return False
@@ -164,6 +170,10 @@ def per_cell_table(cells, spec):
     for pt in points:
       if not _match(_fmt_point(_point_id(pt)), spec):
         continue
+      if cond in rows.get(scene, {}):
+        raise ValueError(
+            f"--point {spec!r} matched more than one grid point in cell "
+            f"{cond}/{scene}; specify every knob of the intended point")
       lo, hi = pt["delta_translation_mean_ci95"]
       mark = "*" if hi < 0 else ("!" if lo > 0 else "~")
       rows.setdefault(scene, {})[cond] = (

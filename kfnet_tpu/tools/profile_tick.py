@@ -85,10 +85,10 @@ def measure_fleet(params, cfg, K, images, solve_pose: bool, chain_n=16):
   return tick_ms, compute_ms
 
 
-def roundtrip_floor_ms():
+def roundtrip_floor_ms(batch: int = 4):
   """Dispatch + tiny-download round trip of a trivial jitted op — the
   irreducible per-tick cost of syncing ANY result to this host."""
-  x = jnp.zeros((4, 19), jnp.float32)  # the packed tick output's shape
+  x = jnp.zeros((batch, 19), jnp.float32)  # the packed tick output's shape
   f = jax.jit(lambda v: v + 1.0)
   np.asarray(f(x))
   return _median_ms(lambda: np.asarray(f(x)), k=7, reps=10)
@@ -112,7 +112,7 @@ def main(argv=None):
   images = jax.device_put(rng.uniform(
       0, 1, (args.batch, args.height, args.width, 3)).astype(np.float32))
 
-  floor = roundtrip_floor_ms()
+  floor = roundtrip_floor_ms(args.batch)
   tick_full, compute_full = measure_fleet(params, cfg, K, images, True)
   tick_nopose, compute_nopose = measure_fleet(params, cfg, K, images, False)
 

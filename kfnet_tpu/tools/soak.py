@@ -12,8 +12,12 @@ health end to end:
   * consistency fraction stationary: the late-stream window mean stays
     within a tolerance of the post-warmup window mean (the χ² gate does
     not silently saturate open or shut as the stream ages);
-  * flat host memory: RSS growth over the stream stays below a small
-    bound (no per-frame accumulation anywhere in the loop).
+  * flat host memory: RSS growth across the identical-shape steady
+    chunks stays below a small bound (no per-frame accumulation anywhere
+    in the loop). The one-time jit allocations — first-step chunk,
+    steady-chunk compile, ragged-tail shape — are excluded from the
+    window (the tail's cost is reported separately), so the bound
+    measures stream growth, not compilation.
 
 Frames are rendered chunk-by-chunk ON DEVICE (one jitted raycast per
 chunk) and fed to the filter as device arrays, so a 5,000-frame full-size
@@ -106,8 +110,12 @@ def run_soak(params, config: kfnet.KFNetConfig, num_frames: int,
   """Stream ``num_frames`` rendered frames through the chunked filter.
 
   Returns a report dict (see module docstring for the health criteria it
-  feeds); raises nothing itself — callers assert on the report.
+  feeds); raises nothing itself beyond argument validation — callers
+  assert on the report.
   """
+  if num_frames <= 0:
+    raise ValueError(f"soak needs a positive frame count, got no frames "
+                     f"({num_frames})")
   frames = device_frame_chunks(num_frames, height, width, chunk,
                                seed=seed, scale=scale)
   # run_filter_chunked_arrays buffers chunk_size frames; feed it frame
@@ -118,27 +126,52 @@ def run_soak(params, config: kfnet.KFNetConfig, num_frames: int,
         yield ch[i]
 
   rows = []
-  t0 = None
+  chunk_times = []   # wall time per received chunk (stats download syncs)
+  chunk_sizes = []
+  rss0_kb = rss_full_kb = rss_tail_kb = None
   done = 0
+  t_prev = time.perf_counter()
   for xs, Ps, auxs in sequence.run_filter_chunked_arrays(
       params, config, frame_iter(), chunk_size=chunk, return_aux=True):
     cmean = jnp.mean(auxs["consistent"].astype(jnp.float32))
     stats = np.asarray(  # the chunk's one sync
         _chunk_stats(xs, Ps, auxs["V"], cmean))
-    if t0 is None:
-      # steady-state clock AND memory baseline: skip the compile chunk
-      # (jit compilation allocates once; that is not stream growth)
-      t0 = time.perf_counter()
-      rss0_kb = _rss_kb()
-      n_warm = int(xs.shape[0])
-    done += int(xs.shape[0])
+    now = time.perf_counter()
+    k = int(xs.shape[0])
+    chunk_times.append(now - t_prev)
+    t_prev = now
+    chunk_sizes.append(k)
+    done += k
     rows.append(stats)
+    # RSS bookkeeping: the memory-leak window covers identical-shape
+    # steady chunks ONLY. Chunk 0 (size chunk+1) compiles the first-step
+    # jit and the first size==chunk chunk compiles the steady jit — both
+    # allocate once; a ragged tail (size<chunk) compiles a third shape at
+    # stream end. None of that is per-frame growth, so the baseline is
+    # taken after the steady jit exists and the tail's one-time cost is
+    # reported separately.
+    if k == chunk:
+      if rss0_kb is None:
+        rss0_kb = _rss_kb()
+      else:
+        rss_full_kb = _rss_kb()
+    elif rss0_kb is not None and done >= num_frames:
+      rss_tail_kb = _rss_kb()
     if log and (len(rows) % 16 == 0 or done >= num_frames):
       log(f"soak: {done}/{num_frames} frames, maxP={stats[2]:.4g} "
           f"minP={stats[3]:.4g} consistent={stats[4]:.3f}")
-  # every chunk's np.asarray(stats) download already hard-synced it
-  dt = time.perf_counter() - t0
-  rss1_kb = _rss_kb()
+  if not rows:
+    raise ValueError("soak stream yielded no frames (num_frames <= 0?)")
+  # steady-state rate: median over identical-shape chunks, excluding the
+  # one that compiled the steady jit (and the differently-shaped first
+  # chunk / ragged tail, which are not in full_idx at all)
+  full_idx = [i for i, n in enumerate(chunk_sizes) if n == chunk]
+  steady_idx = full_idx[1:]
+  steady_fps = (chunk / float(np.median([chunk_times[i] for i in
+                                         steady_idx]))
+                if steady_idx else None)
+  if rss0_kb is None:
+    rss0_kb = _rss_kb()
   rows = np.stack(rows)  # (n_chunks, 8)
   n = rows.shape[0]
   warm = max(1, n // 10)           # post-warmup window: chunks [1, 1+warm)
@@ -158,9 +191,13 @@ def run_soak(params, config: kfnet.KFNetConfig, num_frames: int,
       "consistent_frac_min": float(rows[1:, 4].min()) if n > 1 else None,
       "mean_P_early": float(early[:, 5].mean()),
       "mean_P_late": float(late[:, 5].mean()),
-      "steady_state_fps": float((done - n_warm) / dt) if dt > 0 else None,
+      "steady_state_fps": steady_fps,
       "rss_start_mb": rss0_kb / 1024.0,
-      "rss_growth_mb": (rss1_kb - rss0_kb) / 1024.0,
+      "rss_growth_mb": ((rss_full_kb - rss0_kb) / 1024.0
+                        if rss_full_kb is not None else 0.0),
+      "rss_ragged_tail_mb": (
+          (rss_tail_kb - (rss_full_kb or rss0_kb)) / 1024.0
+          if rss_tail_kb is not None else None),
       "backend": jax.devices()[0].platform,
   }
   return report
@@ -205,15 +242,16 @@ def main(argv=None):
   p.add_argument("--scene", default="sceneA")
   p.add_argument("--frames", type=int, default=5000)
   p.add_argument("--chunk", type=int, default=48)
-  p.add_argument("--seed", type=int, default=0,
-                 help="soak scene seed (default 0 = the protocol sceneA "
-                      "scene the default weights trained on, but a "
-                      "longer, fresh trajectory over it; any other seed "
-                      "= an unseen scene — transfer soak)")
+  p.add_argument("--seed", type=int, default=None,
+                 help="soak scene seed (default: the scene's own "
+                      "protocol seed — the weights' training scene, but "
+                      "a longer, fresh trajectory over it; any other "
+                      "seed = an unseen scene — transfer soak)")
   p.add_argument("--report", default="")
   args = p.parse_args(argv)
 
   from kfnet_tpu import pretrained
+  from kfnet_tpu.tools import protocol as protocol_lib
   from kfnet_tpu.utils import checkpoint as ckpt_lib
   cfg, params = pretrained.load(args.pretrained, scene=args.scene)
   meta = None
@@ -222,10 +260,18 @@ def main(argv=None):
     if meta:
       break
   H, W = int(meta["height"]), int(meta["width"])
-  print(f"soak: {args.frames} frames at {W}x{H}, chunk {args.chunk}, "
+  # the scene's protocol regime: world scale and (by default) seed come
+  # from the protocol table, so e.g. --scene outdoor_train soaks the 20x
+  # world-scale outdoor regime the weights were actually trained on
+  spec = next((s for s in protocol_lib.DEFAULT_SCENES
+               if s.name == args.scene), None)
+  scale = spec.scale if spec else 1.0
+  seed = args.seed if args.seed is not None else (spec.seed if spec else 0)
+  print(f"soak: {args.frames} frames at {W}x{H} (world scale {scale}), "
+        f"chunk {args.chunk}, scene seed {seed}, "
         f"weights {args.pretrained}/{args.scene}")
   report = run_soak(params, cfg, args.frames, H, W, chunk=args.chunk,
-                    seed=args.seed)
+                    seed=seed, scale=scale)
   problems = healthy(report)
   report["healthy"] = not problems
   report["problems"] = problems

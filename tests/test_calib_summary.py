@@ -41,7 +41,7 @@ def test_ci_classification_and_scale_normalization(tmp_path):
   row = rows[0]
   assert (row["ci_wins"], row["neutral"], row["ci_harms"]) == (1, 1, 1)
   assert row["worst_harm_mm"] == 9.0
-  assert row["worst_harm_cell"] == "S1/heldout"
+  assert row["worst_harm_cell"] == "SWEEP_S1/heldout"
   # sum: -10 + 9 + 20 mm
   assert abs(row["sum_delta_mm"] - 19.0) < 1e-6
   assert row["rot_wins"] == 3 and row["rot_harms"] == 0
@@ -78,7 +78,7 @@ def test_markdown_tables(tmp_path):
   assert "+9.0 mm" in md[2] and "| 2 / 0 |" in md[2]
   conds, grid = calib_summary.per_cell_table(cells, "chi2=2.37,w=16")
   gmd = calib_summary.per_cell_markdown(conds, grid)
-  assert gmd[0] == "| scene | S1 |"
+  assert gmd[0] == "| scene | SWEEP_S1 |"
   assert any(line.startswith("| heldout | +9.0!") for line in gmd)
 
 
@@ -87,5 +87,23 @@ def test_per_cell_table_marks(tmp_path):
       {"scene": "sceneB", "points": [_pt(-0.0062, -0.013, 0.001)]}])
   cells = calib_summary.load_cells(f for f in [f])
   conds, rows = calib_summary.per_cell_table(cells, "chi2=2.37,w=16")
-  assert conds == ["S2_STRESS"]
-  assert rows["sceneB"]["S2_STRESS"] == "-6.2~"
+  assert conds == ["SWEEP_S2_STRESS"]
+  assert rows["sceneB"]["SWEEP_S2_STRESS"] == "-6.2~"
+
+
+def test_per_cell_point_spec_is_exact_not_subset(tmp_path):
+  """'chi2=4.64,w=1' must select ONLY the plain grid point — subset
+  matching used to also match every adaptive alpha_max row sharing those
+  two knobs, and the table silently kept whichever iterated last."""
+  scenes = [{"scene": "sceneA", "points": [
+      _pt(-0.010, -0.015, -0.005) | {"chi2_threshold": 4.64, "w_scale": 1.0},
+      _pt(-0.099, -0.100, -0.098, alpha_max=32.0, adaptive_stat="s")
+      | {"chi2_threshold": 4.64, "w_scale": 1.0},
+  ]}]
+  f = _artifact(tmp_path, "CALIBRATION_ADAPTIVE_S1.json", scenes)
+  cells = calib_summary.load_cells([f])
+  _, rows = calib_summary.per_cell_table(cells, "chi2=4.64,w=1")
+  assert rows["sceneA"]["ADAPTIVE_S1"] == "-10.0*"
+  _, rows = calib_summary.per_cell_table(
+      cells, "chi2=4.64,w=1,amax=32.0,stat=s")
+  assert rows["sceneA"]["ADAPTIVE_S1"] == "-99.0*"

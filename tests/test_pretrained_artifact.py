@@ -102,3 +102,20 @@ def test_full_size_artifact_loads_and_filters(scene):
   assert z.shape == (60, 80, 3) and V.shape == (60, 80, 1)
   assert np.isfinite(np.asarray(z)).all()
   assert float(jnp.min(V)) > 0
+
+
+def test_release_export_shape_mismatch_is_loud(tmp_path):
+  """A wrong-geometry bf16 export (same param TREE, different array
+  shapes) must fail in the loader with a shape message, not deep inside
+  apply with an opaque conv error."""
+  import jax.numpy as jnp
+
+  from kfnet_tpu import pretrained
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+
+  saved = {"w": np.zeros((2, 3), np.float32)}
+  template = {"w": jnp.zeros((4, 3), jnp.float32)}
+  path = str(tmp_path / "export")
+  ckpt_lib.export_params(path, saved, meta={"params_dtype": "bfloat16"})
+  with pytest.raises(ValueError, match="shapes"):
+    pretrained._load_params_cast(path, template)

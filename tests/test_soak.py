@@ -75,3 +75,12 @@ def test_soak_5000_frames():
   assert problems == [], (problems, rep)
   # the trained gate should actually accept most pixels on its own scene
   assert rep["consistent_frac_late"] > 0.5, rep
+
+
+def test_soak_empty_stream_raises():
+  """frames<=0 must be a clear argument error, not an UnboundLocalError
+  at the timing bookkeeping."""
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(0), cfg, tc.IMG)
+  with pytest.raises(ValueError, match="no frames"):
+    soak.run_soak(params, cfg, 0, 48, 64, chunk=24, log=None)
