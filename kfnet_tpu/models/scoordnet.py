@@ -41,7 +41,12 @@ class SCoordNetConfig:
   coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
   coord_scale: float = 1.0
   compute_dtype: str = "bfloat16"
-  norm: str = "group"  # "group" | "none" (none ≈ reference, ~1.7x faster)
+  # "group" | "none". "none" is the reference-parity arch (the TF1 net has
+  # no normalization); the full-size ablation (docs/NORM_STUDY.json) measured
+  # it 1.05x faster end-to-end (442 vs 420 fps) and CI-better on the one
+  # trained cell. Default stays "group": every shipped weight set and every
+  # calibration artifact pins it. See DESIGN.md §8.
+  norm: str = "group"
   # space-to-depth stem factor (1 = plain conv stem). With 2, the input is
   # patchified to (H/2, W/2, 12) and one trunk stride-2 is dropped to keep
   # the 1/8 output (the `strides` tuple is adjusted automatically). Kills
