@@ -35,26 +35,11 @@ H, W = 480, 640
 
 
 def bench_variant(cfg, params, images, reps=3, k=3):
-  """(fps, total_flops|None) for one config — median of k timing batches,
-  AOT-compiled so the timed executable is the one cost-analyzed."""
-  from kfnet_tpu.filter import sequence
-  from kfnet_tpu.eval import flops as flops_lib
-  from kfnet_tpu.utils.timing import sync
-
-  compiled = jax.jit(
-      lambda p, im: sequence.run_filter(p, cfg, im)[:2]).lower(
-          params, images).compile()
-  fl = flops_lib.compiled_flops(compiled)
-  out = compiled(params, images)
-  sync(out)  # warmup (hard sync; see utils/timing.py)
-  times = []
-  for _ in range(k):
-    t0 = time.perf_counter()
-    for _ in range(reps):
-      out = compiled(params, images)
-    sync(out)
-    times.append((time.perf_counter() - t0) / reps)
-  return FRAMES / float(np.median(times)), fl
+  """(fps, total_flops|None) for one config — the shared headline
+  protocol (eval/benchmark.aot_filter_fps: AOT compile, hard-sync
+  warmup, median of k timing batches)."""
+  from kfnet_tpu.eval.benchmark import aot_filter_fps
+  return aot_filter_fps(cfg, params, images, reps=reps, k=k)
 
 
 def main():

@@ -28,6 +28,31 @@ def bench_fn(fn, args, reps: int = 10) -> float:
   return (time.perf_counter() - t0) / reps
 
 
+def aot_filter_fps(cfg, params, images, reps: int = 3, k: int = 3):
+  """The headline-bench timing protocol, shared by bench.py and
+  tools/norm_study so their speed numbers can never diverge: AOT-compile
+  the filter scan (the timed executable is the one cost-analyzed), one
+  hard-sync warmup call, then median of k timing batches of ``reps``
+  calls. Returns (frames/sec, xla_cost_analysis_flops | None)."""
+  from kfnet_tpu.filter import sequence
+  from kfnet_tpu.eval import flops as flops_lib
+
+  compiled = jax.jit(
+      lambda p, im: sequence.run_filter(p, cfg, im)[:2]).lower(
+          params, images).compile()
+  fl = flops_lib.compiled_flops(compiled)
+  out = compiled(params, images)
+  sync(out)  # warmup (hard sync; see utils/timing.py)
+  times = []
+  for _ in range(k):
+    t0 = time.perf_counter()
+    for _ in range(reps):
+      out = compiled(params, images)
+    sync(out)
+    times.append((time.perf_counter() - t0) / reps)
+  return images.shape[0] / float(np.median(times)), fl
+
+
 def run(height: int = 480, width: int = 640, frames: int = 32,
         use_pallas: bool | None = None, reps: int = 3,
         tick: bool = False) -> dict:

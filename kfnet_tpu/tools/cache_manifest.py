@@ -107,6 +107,9 @@ def main(argv=None):
   p.add_argument("--out", default="", help="write: manifest output path")
   p.add_argument("--manifest", default="", help="verify: manifest to check")
   args = p.parse_args(argv)
+  if args.mode == "verify" and not args.manifest:
+    p.error("verify requires --manifest <manifest.json> "
+            "(e.g. docs/CACHE_MANIFEST_S1.json)")
   if args.mode == "write":
     m = build_manifest(args.work_dir)
     text = json.dumps(m, indent=2)

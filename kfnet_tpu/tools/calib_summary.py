@@ -80,6 +80,12 @@ def load_cells(paths):
     with open(path) as f:
       d = json.load(f)
     for entry in d["scenes"]:
+      if entry["scene"] not in SCENE_SCALE:
+        # Fail loud: an unknown scene would otherwise be silently dropped
+        # from the per-cell tables and summed at the wrong world scale.
+        raise ValueError(
+            f"{path}: scene {entry['scene']!r} has no entry in "
+            f"SCENE_SCALE — add its world scale before aggregating")
       cells.append((_label(path), entry["scene"], entry.get("held_out"),
                     entry["points"]))
   return cells
@@ -89,7 +95,7 @@ def summarize(cells):
   """Aggregate every grid point over all cells -> summary rows."""
   by_point = {}
   for cond, scene, _, points in cells:
-    scale = SCENE_SCALE.get(scene, 1.0)
+    scale = SCENE_SCALE[scene]  # membership enforced in load_cells
     for pt in points:
       row = by_point.setdefault(_point_id(pt), [])
       row.append((cond, scene, scale, pt))
@@ -166,7 +172,7 @@ def per_cell_table(cells, spec):
   for cond, scene, _, points in cells:
     if cond not in conds:
       conds.append(cond)
-    scale = SCENE_SCALE.get(scene, 1.0)
+    scale = SCENE_SCALE[scene]  # membership enforced in load_cells
     for pt in points:
       if not _match(_fmt_point(_point_id(pt)), spec):
         continue

@@ -27,36 +27,22 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from kfnet_tpu import configs
-from kfnet_tpu.eval import eval_sequence, stats
+from kfnet_tpu.eval import benchmark, eval_sequence, stats
 from kfnet_tpu.eval import flops as flops_lib
-from kfnet_tpu.filter import sequence
 from kfnet_tpu.pose import metrics as pose_metrics
 from kfnet_tpu.tools import protocol
-from kfnet_tpu.utils.timing import sync
 
 
 def bench_fps(cfg, params, images, reps=3, k=3):
-  """bench.py's variant protocol: AOT-compiled scan, median of k."""
-  compiled = jax.jit(
-      lambda p, im: sequence.run_filter(p, cfg, im)[:2]).lower(
-          params, images).compile()
-  out = compiled(params, images)
-  sync(out)
-  times = []
-  for _ in range(k):
-    t0 = time.perf_counter()
-    for _ in range(reps):
-      out = compiled(params, images)
-    sync(out)
-    times.append((time.perf_counter() - t0) / reps)
-  return images.shape[0] / float(np.median(times))
+  """bench.py's exact protocol, via the shared implementation
+  (eval/benchmark.aot_filter_fps) so the two can never diverge."""
+  return benchmark.aot_filter_fps(cfg, params, images, reps=reps, k=k)[0]
 
 
 def _load(work_dir, scene, test_frames, eval_traj_offset, norm):

@@ -134,8 +134,16 @@ def run_soak(params, config: kfnet.KFNetConfig, num_frames: int,
   for xs, Ps, auxs in sequence.run_filter_chunked_arrays(
       params, config, frame_iter(), chunk_size=chunk, return_aux=True):
     cmean = jnp.mean(auxs["consistent"].astype(jnp.float32))
-    stats = np.asarray(  # the chunk's one sync
+    stats = np.array(  # the chunk's one sync (writable host copy)
         _chunk_stats(xs, Ps, auxs["V"], cmean))
+    if not rows:
+      # Frame 0's posterior IS its measurement variance (the first step
+      # has no prior, kfnet.py first_step), but aux V covers updated
+      # frames only (1..T-1) — fold P[0] into the measurement envelope
+      # so healthy()'s max_P <= max_V invariant compares the same frame
+      # set (otherwise a stream whose noisiest pixel is in frame 0
+      # false-fails the envelope check).
+      stats[7] = max(stats[7], float(jnp.max(Ps[0])))
     now = time.perf_counter()
     k = int(xs.shape[0])
     chunk_times.append(now - t_prev)

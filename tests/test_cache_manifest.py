@@ -59,7 +59,8 @@ def test_manifest_write_verify_and_tamper(tmp_path):
 def test_release_export_bf16_roundtrip(tmp_path):
   """export_release casts to bf16; pretrained's loader restores and casts
   back to the template dtype, matching an explicit f32→bf16→f32 trip."""
-  src_root = "artifacts/pretrained_synthetic"
+  src_root = os.path.join(os.path.dirname(__file__), os.pardir,
+                          "artifacts", "pretrained_synthetic")
   out_root = str(tmp_path / "release")
   export_release.main(["--src", src_root, "--stage", "stage3_sceneA",
                        "--out", os.path.join(out_root, "stage3_sceneA")])
