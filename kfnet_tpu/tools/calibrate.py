@@ -266,11 +266,16 @@ def main(argv=None):
                       "same as --stress)")
   p.add_argument("--block", type=int, default=24,
                  help="bootstrap block length (frames)")
+  p.add_argument("--scoordnet_norm", default=None,
+                 help="norm of the cached stages ('none' for a "
+                      "--scoordnet_norm-trained cache); must match the "
+                      "cache or the strict load fails loudly")
   args = p.parse_args(argv)
 
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
             test_frames=args.test_frames, work_dir=args.work_dir,
-            eval_traj_offset=args.eval_traj_offset)
+            eval_traj_offset=args.eval_traj_offset,
+            scoordnet_norm=args.scoordnet_norm)
   if args.full_size:
     kw.update(H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000,
               of_steps=2000, joint_steps=400)

@@ -68,10 +68,14 @@ def main(argv=None):
   p.add_argument("--width", type=int, default=128)
   p.add_argument("--stress", type=float, default=0.0)
   p.add_argument("--report", default="")
+  p.add_argument("--scoordnet_norm", default=None,
+                 help="norm of the cached stages ('none' for a "
+                      "--scoordnet_norm-trained cache)")
   args = p.parse_args(argv)
 
   kw = dict(H=args.height, W=args.width, train_frames=args.train_frames,
-            test_frames=args.test_frames, work_dir=args.work_dir)
+            test_frames=args.test_frames, work_dir=args.work_dir,
+            scoordnet_norm=args.scoordnet_norm)
   if args.full_size:
     kw.update(H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000,
               of_steps=2000, joint_steps=400)

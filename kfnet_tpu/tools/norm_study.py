@@ -45,13 +45,19 @@ def bench_fps(cfg, params, images, reps=3, k=3):
   return benchmark.aot_filter_fps(cfg, params, images, reps=reps, k=k)[0]
 
 
-def _load(work_dir, scene, test_frames, eval_traj_offset, norm):
+def _load(work_dir, scene, test_frames, eval_traj_offset, norm,
+          seed_offset=0):
+  specs = tuple(s for s in protocol.DEFAULT_SCENES if s.name == scene)
+  if seed_offset:
+    # mirror protocol.py's --seed_offset: shift the scene-generation seeds
+    # so a seed-2 cache is evaluated on the data it was trained against
+    specs = tuple(dataclasses.replace(s, seed=s.seed + seed_offset)
+                  for s in specs)
   data, _, _, joint = protocol.prepare_stages(
       H=480, W=640, full_size=True, lr=3e-4, sc_steps=3000, of_steps=2000,
       joint_steps=400, test_frames=test_frames, work_dir=work_dir,
       strict_cache=True, eval_traj_offset=eval_traj_offset,
-      scoordnet_norm=norm,
-      scenes=tuple(s for s in protocol.DEFAULT_SCENES if s.name == scene))
+      scoordnet_norm=norm, scenes=specs)
   cfg, params = joint[scene]
   d = data[scene]
   d["test"].pop("depths", None)
@@ -92,12 +98,18 @@ def main(argv=None):
   p.add_argument("--eval_traj_offset", type=int, default=7)
   p.add_argument("--bench_frames", type=int, default=32)
   p.add_argument("--block", type=int, default=24)
+  p.add_argument("--seed_offset", type=int, default=0,
+                 help="scene-seed offset of the caches (1000 = seed 2)")
+  p.add_argument("--skip_perf", action="store_true",
+                 help="skip the speed re-measurement (identical across "
+                      "scenes/seeds; only the paired accuracy runs)")
   p.add_argument("--report", default="")
   args = p.parse_args(argv)
 
   rcfg = configs.synthetic_ransac(True)
   out = {"scene": args.scene, "test_frames": args.test_frames,
-         "eval_traj_offset": args.eval_traj_offset}
+         "eval_traj_offset": args.eval_traj_offset,
+         "seed_offset": args.seed_offset}
 
   # ---- speed first (random-content frames; weights don't matter) -------
   rng = np.random.default_rng(0)
@@ -105,7 +117,7 @@ def main(argv=None):
                       .astype(np.float32))
   on_tpu = jax.default_backend() == "tpu"
   perf = {}
-  for norm in ("group", "none"):
+  for norm in () if args.skip_perf else ("group", "none"):
     cfg = kfnet_config_for(norm, on_tpu)
     params = init_for(cfg)
     fps = bench_fps(cfg, params, bimgs)
@@ -114,17 +126,19 @@ def main(argv=None):
     perf[norm] = {"fps": round(fps, 2),
                   "mfu": round(flops_per_frame * fps / peak, 4)}
     del params
-  perf["none_over_group_speedup"] = round(
-      perf["none"]["fps"] / perf["group"]["fps"], 4)
-  out["perf"] = perf
-  print(json.dumps({"perf": perf}), flush=True)
+  if perf:
+    perf["none_over_group_speedup"] = round(
+        perf["none"]["fps"] / perf["group"]["fps"], 4)
+    out["perf"] = perf
+    print(json.dumps({"perf": perf}), flush=True)
 
   # ---- accuracy: paired eval on the same fresh trajectory --------------
   runs = {}
   for norm, d_dir in (("group", args.gn_dir), ("none", args.nonorm_dir)):
     cfg, params, d = _load(d_dir, args.scene, args.test_frames,
                            args.eval_traj_offset,
-                           None if norm == "group" else norm)
+                           None if norm == "group" else norm,
+                           seed_offset=args.seed_offset)
     assert cfg.scoordnet.norm == norm, (cfg.scoordnet.norm, norm)
     runs[norm] = _eval_one(cfg, params, d, args.scene, rcfg)
     out[f"{norm}_report"] = runs[norm]["report"]
