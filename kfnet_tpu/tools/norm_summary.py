@@ -1,0 +1,109 @@
+"""Aggregate NORM_STUDY_*.json artifacts into the GroupNorm-vs-none doc
+table (round-4 norm verdict, docs/DESIGN.md §8 / docs/ROUND4.md).
+
+Each ``tools/norm_study.py`` artifact carries one (scene, seed) cell of
+the paired GN-vs-``norm="none"`` comparison: per-frame paired deltas
+(``none − group``; negative = ``none`` better) with moving-block-
+bootstrap CIs on the same fresh 480-frame trajectory and the same PnP
+keys. This tool renders the full set as one table so the doc rows are
+mechanically regenerable from the checked-in JSONs:
+
+    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY*.json
+    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY*.json --markdown
+
+Conventions mirror tools/calib_summary.py: a cell is a CI-*win* for
+``none`` when the paired mean's 95% CI lies entirely below 0, a
+CI-*harm* when entirely above, neutral otherwise; outdoor-scene
+translation deltas are divided by the 20x world scale; translation in
+mm, rotation in degrees. Pure json/numpy — safe to run while a TPU job
+owns the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from kfnet_tpu.tools.calib_summary import SCENE_SCALE
+
+METRICS = (("meas ΔT mm", "meas_translation_none_minus_group", True),
+           ("filt ΔT mm", "filt_translation_none_minus_group", True),
+           ("meas Δrot°", "meas_rotation_none_minus_group", False),
+           ("filt Δrot°", "filt_rotation_none_minus_group", False))
+
+
+def _verdict(lo, hi):
+  if hi < 0:
+    return "win"
+  if lo > 0:
+    return "harm"
+  return "~"
+
+
+def _fmt_cell(stat, scale, translation):
+  """'-12.3 [-14.0, -9.6]*' — mm (scale-normalized) or degrees."""
+  unit = (1000.0 / scale) if translation else 1.0
+  m = stat["delta_mean"] * unit
+  lo, hi = (c * unit for c in stat["delta_mean_ci95"])
+  mark = {"win": "*", "harm": "!", "~": "~"}[_verdict(lo, hi)]
+  return f"{m:+.1f} [{lo:+.1f}, {hi:+.1f}]{mark}"
+
+
+def load_rows(paths):
+  rows = []
+  for path in paths:
+    with open(path) as f:
+      art = json.load(f)
+    scene = art["scene"]
+    seed = 2 if art.get("seed_offset") else 1
+    scale = SCENE_SCALE.get(scene, 1.0)
+    cells = {}
+    verdicts = {}
+    for label, key, is_t in METRICS:
+      stat = art["paired"][key]
+      unit = (1000.0 / scale) if is_t else 1.0
+      lo, hi = (c * unit for c in stat["delta_mean_ci95"])
+      cells[label] = _fmt_cell(stat, scale, is_t)
+      verdicts[label] = _verdict(lo, hi)
+    rows.append({"path": path, "scene": scene, "seed": seed,
+                 "cells": cells, "verdicts": verdicts,
+                 "perf": art.get("perf"),
+                 "medians": {c: art[f"{c}_report"] for c in ("group", "none")
+                             if f"{c}_report" in art}})
+  rows.sort(key=lambda r: (r["seed"], r["scene"]))
+  return rows
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+  p.add_argument("artifacts", nargs="+", help="NORM_STUDY_*.json files")
+  p.add_argument("--markdown", action="store_true",
+                 help="emit a GitHub-markdown table (doc-ready)")
+  args = p.parse_args(argv)
+
+  rows = load_rows(args.artifacts)
+  heads = ["scene", "seed"] + [m[0] for m in METRICS]
+  if args.markdown:
+    print("| " + " | ".join(heads) + " |")
+    print("|" + "---|" * len(heads))
+    line = "| {} |"
+  else:
+    print(" | ".join(heads))
+    line = "{}"
+  for r in rows:
+    cols = [r["scene"], str(r["seed"])] + [r["cells"][m[0]] for m in METRICS]
+    print(line.format(" | ".join(cols)))
+
+  # aggregate verdict counts per metric
+  print()
+  for label, _, _ in METRICS:
+    vs = [r["verdicts"][label] for r in rows]
+    print(f"{label}: {vs.count('win')} win / {vs.count('~')} neutral / "
+          f"{vs.count('harm')} harm of {len(vs)}")
+  perfs = [r["perf"]["none_over_group_speedup"] for r in rows if r["perf"]]
+  if perfs:
+    print(f"speedup none/group: {perfs} (weight-independent; measured once)")
+
+
+if __name__ == "__main__":
+  main()
