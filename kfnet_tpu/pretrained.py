@@ -27,10 +27,12 @@ def _scoordnet_config(meta) -> scoordnet.SCoordNetConfig:
   fn = (configs.full_scoordnet if meta.get("full_size")
         else configs.small_scoordnet)
   cfg = fn(tuple(meta["coord_offset"]), float(meta["coord_scale"]))
-  if meta.get("scoordnet_norm"):  # norm-ablation exports (tools/norm_study)
-    import dataclasses
-    cfg = dataclasses.replace(cfg, norm=meta["scoordnet_norm"])
-  return cfg
+  # Pin the trunk normalization from the export's meta rather than the
+  # current SCoordNetConfig default: exports written before the field
+  # existed (artifacts/pretrained_synthetic) were all GroupNorm-trained,
+  # so a missing field means "group" — NOT "whatever the default is now".
+  import dataclasses
+  return dataclasses.replace(cfg, norm=meta.get("scoordnet_norm", "group"))
 
 
 def _oflownet_config(meta) -> oflownet.OFlowNetConfig:

@@ -56,7 +56,12 @@ def load_rows(paths):
       art = json.load(f)
     scene = art["scene"]
     seed = 2 if art.get("seed_offset") else 1
-    scale = SCENE_SCALE.get(scene, 1.0)
+    if scene not in SCENE_SCALE:
+      # fail loud: an unknown scene would be normalized at the wrong
+      # world scale (same rule as calib_summary.load_cells)
+      raise SystemExit(f"{path}: scene {scene!r} not in "
+                       f"calib_summary.SCENE_SCALE — add its world scale")
+    scale = SCENE_SCALE[scene]
     cells = {}
     verdicts = {}
     for label, key, is_t in METRICS:

@@ -119,3 +119,20 @@ def test_release_export_shape_mismatch_is_loud(tmp_path):
   ckpt_lib.export_params(path, saved, meta={"params_dtype": "bfloat16"})
   with pytest.raises(ValueError, match="shapes"):
     pretrained._load_params_cast(path, template)
+
+
+def test_meta_without_norm_field_means_groupnorm():
+  """Exports written before meta carried ``scoordnet_norm``
+  (artifacts/pretrained_synthetic) were all GroupNorm-trained; the
+  loader must pin norm="group" for them regardless of what the current
+  SCoordNetConfig default is (a default flip must not silently retarget
+  old weights at a different trunk)."""
+  from kfnet_tpu import pretrained
+
+  base = {"coord_offset": [0.0, 0.0, 0.0], "coord_scale": 1.0}
+  cfg = pretrained._scoordnet_config(dict(base))
+  assert cfg.norm == "group"
+  cfg = pretrained._scoordnet_config(dict(base, scoordnet_norm="none"))
+  assert cfg.norm == "none"
+  cfg = pretrained._scoordnet_config(dict(base, full_size=True))
+  assert cfg.norm == "group"
