@@ -68,29 +68,36 @@ def test_stage1_plus_stage2_compose_without_stage3():
 
 FULL_ROOT = os.path.join(os.path.dirname(__file__), os.pardir,
                          "artifacts", "pretrained_full")
+FULL_NONORM_ROOT = os.path.join(os.path.dirname(__file__), os.pardir,
+                                "artifacts", "pretrained_full_nonorm")
 
 
 def test_full_size_artifact_is_shipped():
   """Round-4: FULL-SIZE (640x480, 23.6M-param) weights ship too, in the
-  bf16 release format (tools/export_release.py)."""
+  bf16 release format (tools/export_release.py) — both trunks."""
   assert os.path.isdir(FULL_ROOT)
+  assert os.path.isdir(FULL_NONORM_ROOT)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("scene", ["sceneA", "outdoor_train"])
-def test_full_size_artifact_loads_and_filters(scene):
-  """The bf16 full-size releases (indoor + outdoor flagship) load through
-  pretrained.load (restored + cast back to the config dtypes) and one
-  measurement forward runs clean on CPU. Accuracy at full size is covered
-  by the TPU protocol reports; this guards the fresh-clone load path."""
+@pytest.mark.parametrize("root,norm", [(FULL_ROOT, "group"),
+                                       (FULL_NONORM_ROOT, "none")])
+def test_full_size_artifact_loads_and_filters(root, norm, scene):
+  """The bf16 full-size releases (indoor + outdoor, GroupNorm and
+  reference-parity nonorm trunks) load through pretrained.load (restored
+  + cast back to the config dtypes) and one measurement forward runs
+  clean on CPU. Accuracy at full size is covered by the TPU protocol
+  reports; this guards the fresh-clone load path."""
   import jax.numpy as jnp
 
   from kfnet_tpu import pretrained
   from kfnet_tpu.models import kfnet
   from kfnet_tpu.utils import checkpoint as ckpt_lib
 
-  cfg, params = pretrained.load(FULL_ROOT, scene=scene)
-  meta = ckpt_lib.load_meta(os.path.join(FULL_ROOT, f"stage3_{scene}"))
+  cfg, params = pretrained.load(root, scene=scene)
+  assert cfg.scoordnet.norm == norm
+  meta = ckpt_lib.load_meta(os.path.join(root, f"stage3_{scene}"))
   assert meta["params_dtype"] == "bfloat16"
   assert meta["full_size"] and int(meta["height"]) == 480
   # params restored to the template's dtypes (f32 master weights)
