@@ -13,9 +13,13 @@ from kfnet_tpu.models import scoordnet
 
 
 def small_cfg(conv_impl="xla"):
+  # norm pinned explicitly: the fused trunk is a GroupNorm-specific
+  # kernel chain (scoordnet._apply_fused_trunk) and must keep its
+  # coverage regardless of what the config default is.
   return scoordnet.SCoordNetConfig(
       channels=(128, 128), strides=(1, 1), head_channels=128,
-      stem_s2d=1, compute_dtype="bfloat16", conv_impl=conv_impl)
+      stem_s2d=1, compute_dtype="bfloat16", conv_impl=conv_impl,
+      norm="group")
 
 
 def test_fused_suffix_start():
