@@ -95,6 +95,11 @@ def main(argv=None):
           scfg,
           coord_offset=tuple(float(x) for x in meta["coord_offset"]),
           coord_scale=float(meta["coord_scale"]))
+    if meta.get("scoordnet_norm"):
+      # self-describing export (tools/protocol.py meta): the trunk the
+      # weights were trained with wins over the config default, same
+      # rule as pretrained._scoordnet_config
+      scfg = dataclasses.replace(scfg, norm=meta["scoordnet_norm"])
     cfg = kfnet_lib.KFNetConfig(scoordnet=scfg, oflownet=exp.oflownet)
     params = kfnet_lib.init(jax.random.key(exp.seed), cfg, image_shape)
     params = ckpt_lib.load_params(args.kfnet_ckpt, template=params)
