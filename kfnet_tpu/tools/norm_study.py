@@ -135,9 +135,11 @@ def main(argv=None):
   # ---- accuracy: paired eval on the same fresh trajectory --------------
   runs = {}
   for norm, d_dir in (("group", args.gn_dir), ("none", args.nonorm_dir)):
+    # norm is passed explicitly for BOTH sides (never None = "config
+    # default"): each cache must be loaded as the trunk it was trained
+    # with, regardless of what the shipped default is.
     cfg, params, d = _load(d_dir, args.scene, args.test_frames,
-                           args.eval_traj_offset,
-                           None if norm == "group" else norm,
+                           args.eval_traj_offset, norm,
                            seed_offset=args.seed_offset)
     assert cfg.scoordnet.norm == norm, (cfg.scoordnet.norm, norm)
     runs[norm] = _eval_one(cfg, params, d, args.scene, rcfg)
