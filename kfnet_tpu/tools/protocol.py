@@ -89,6 +89,24 @@ def _scene_data(spec: SceneSpec, H, W, train_frames, test_frames,
 from kfnet_tpu import configs as _presets  # noqa: E402
 
 
+def _cached_meta_norm(work_dir, name):
+  """Trunk norm recorded in a cached stage's meta (None if no cache or
+  the meta predates the field). Stage exports are self-describing
+  (scoordnet_norm is written at train time); the loader must trust the
+  cache over the config default, or a GroupNorm cache evaluated after a
+  default change (or a norm="none" cache loaded without the flag) would
+  rebuild the wrong graph around the stored weights."""
+  import os
+
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+  if not work_dir:
+    return None
+  d = os.path.join(work_dir, name)
+  if not os.path.isdir(os.path.join(d, "params")):
+    return None
+  return (ckpt_lib.load_meta(d) or {}).get("scoordnet_norm")
+
+
 def _cached_stage(work_dir, name, template, fit_fn, strict=False,
                   meta=None):
   """Stage-level resume: if ``work_dir/name`` holds an export, restore it
@@ -162,6 +180,18 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
     mean, std = labels.scene_statistics([np.asarray(d["coords"])],
                                         [np.asarray(d["valid"])])
     cfg = sc_cfg_fn(mean, std)
+    cached_norm = _cached_meta_norm(work_dir, f"stage1_{s.name}")
+    if cached_norm is not None and cached_norm != cfg.norm:
+      if scoordnet_norm is None:
+        # no explicit request: honor the cache's own record
+        cfg = dataclasses.replace(cfg, norm=cached_norm)
+      else:
+        raise RuntimeError(
+            f"stage1_{s.name} in {work_dir!r} was trained with "
+            f"norm={cached_norm!r} but --scoordnet_norm="
+            f"{scoordnet_norm!r} was requested — refusing to rebuild a "
+            "different graph around cached weights (point at the right "
+            "cache dir, or drop the flag to honor the cache's meta)")
     params = scoordnet.init(jax.random.key(s.seed + 7), cfg, (H, W, 3))
     loss_fn = objectives.scoordnet_objective(cfg)
     batch = {"image": d["train"]["images"], "coords": d["coords"],
@@ -236,6 +266,12 @@ def prepare_stages(H=96, W=128, train_frames=48, test_frames=48,
     of_cfg, of_params, _ = of[s.dataset]
     cfg = kfnet.KFNetConfig(scoordnet=sc_cfg, oflownet=of_cfg)
     params = {"scoordnet": sc_params, "oflownet": of_params}
+    s3_norm = _cached_meta_norm(work_dir, f"stage3_{s.name}")
+    if s3_norm is not None and s3_norm != cfg.scoordnet.norm:
+      raise RuntimeError(
+          f"stage3_{s.name} in {work_dir!r} records norm={s3_norm!r} but "
+          f"stage1_{s.name} resolved to norm={cfg.scoordnet.norm!r} — "
+          "the cache dir mixes trunks; regenerate it")
     if joint_steps > 0 and not s.held_out:
       def fit_stage3(cfg=cfg, params=params, name=s.name):
         d = data[name]  # assembled only on a real (non-cached) train
