@@ -41,11 +41,14 @@ class SCoordNetConfig:
   coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
   coord_scale: float = 1.0
   compute_dtype: str = "bfloat16"
-  # "group" | "none". "none" is the reference-parity arch (the TF1 net has
-  # no normalization); the full-size ablation (docs/NORM_STUDY.json) measured
-  # it 1.05x faster end-to-end (442 vs 420 fps) and CI-better on the one
-  # trained cell. Default stays "group": every shipped weight set and every
-  # calibration artifact pins it. See DESIGN.md §8.
+  # "group" | "none". "none" is the reference-parity arch (the TF1 net
+  # has no normalization). The 12-cell full-size study (DESIGN.md §8,
+  # docs/NORM_STUDY*.json) measured it 1.054x faster (442 vs 420 fps)
+  # and CI-better on every trained scene×seed cell, but seed-unstable on
+  # held-out-scene transfer (one CI-inversion per seed). Default stays
+  # "group" (transfer-stable; all shipped flagship weights pin it); for
+  # in-domain serving prefer "none" + the CALIBRATION.md §7 point
+  # (chi2=2.37, w_scale=2) and artifacts/pretrained_full_nonorm.
   norm: str = "group"
   # space-to-depth stem factor (1 = plain conv stem). With 2, the input is
   # patchified to (H/2, W/2, 12) and one trunk stride-2 is dropped to keep
