@@ -35,11 +35,18 @@ from kfnet_tpu.tools import calibrate, protocol
 
 
 def residual_stats(coords, gt_coords, valid):
-  """Per-sequence coordinate residual: median norm + lag-1 spatial
-  autocorrelation of the residual field (mean over frames/channels)."""
+  """Per-sequence coordinate residual: median norm, lag-1 spatial
+  autocorrelation of the residual field (mean over frames/channels), and
+  the per-frame GLOBAL bias ‖mean residual vector‖. The bias statistic
+  separates two failure shapes PnP treats very differently: zero-mean
+  scatter (RANSAC rejects or averages it out) vs a rigid shift of the
+  whole coordinate field (every point stays an inlier, the pose absorbs
+  the shift — invisible to both the median norm and lag-1 autocorr)."""
   e = np.asarray(coords, np.float64) - np.asarray(gt_coords, np.float64)
   v = np.asarray(valid, bool)
   norms = np.linalg.norm(e, axis=-1)[v]
+  frame_bias = [np.linalg.norm(e[t][v[t]].mean(axis=0))
+                for t in range(e.shape[0]) if v[t].sum() > 100]
   # lag-1 horizontal autocorrelation of each frame's residual field,
   # valid-masked, averaged over frames and xyz channels
   cors = []
@@ -53,6 +60,8 @@ def residual_stats(coords, gt_coords, valid):
       "median_coord_err_m": float(np.median(norms)) if norms.size else None,
       "mean_coord_err_m": float(norms.mean()) if norms.size else None,
       "spatial_autocorr_lag1": float(np.mean(cors)) if cors else None,
+      "median_frame_bias_m": (float(np.median(frame_bias))
+                              if frame_bias else None),
   }
 
 
