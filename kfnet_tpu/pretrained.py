@@ -40,6 +40,21 @@ def _oflownet_config(meta) -> oflownet.OFlowNetConfig:
           else configs.small_oflownet())
 
 
+def _apply_serving(cfg: kfnet.KFNetConfig, meta) -> kfnet.KFNetConfig:
+  """Apply the serving point recorded in the export's meta (written by
+  ``tools/export_release.py --serving_*``). Weights whose calibration
+  differs from the KFNetConfig defaults — e.g. ``norm="none"`` trunks
+  serve at w_scale=2, not the GN default 16 (CALIBRATION.md §7) — ship
+  the right point instead of relying on the user to remember it."""
+  import dataclasses
+  kw = {}
+  if meta.get("serving_w_scale") is not None:
+    kw["w_scale"] = float(meta["serving_w_scale"])
+  if meta.get("serving_chi2_threshold") is not None:
+    kw["chi2_threshold"] = float(meta["serving_chi2_threshold"])
+  return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
 def _load_params_cast(path: str, template):
   """load_params honoring a release export's ``params_dtype`` (the bf16
   compact format of tools/export_release.py): restore as-saved, check the
@@ -86,8 +101,9 @@ def load(root: str, scene: str = "sceneA"):
     if not meta or "coord_scale" not in meta:
       raise ValueError(f"{stage3}: export has no self-describing meta "
                        "(regenerate with a current tools/protocol.py)")
-    cfg = kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta),
-                            oflownet=_oflownet_config(meta))
+    cfg = _apply_serving(
+        kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta),
+                          oflownet=_oflownet_config(meta)), meta)
     shape = (int(meta["height"]), int(meta["width"]), 3)
     template = kfnet.init(jax.random.key(0), cfg, shape)
     return cfg, _load_params_cast(stage3, template)
@@ -115,8 +131,9 @@ def load_stage12(root: str, scene: str = "sceneA"):
         break  # the OFlowNet actually trained on this scene's dataset
   if stage2 is None:
     raise FileNotFoundError(f"no stage2_* export under {root!r}")
-  cfg = kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta1),
-                          oflownet=_oflownet_config(meta1))
+  cfg = _apply_serving(
+      kfnet.KFNetConfig(scoordnet=_scoordnet_config(meta1),
+                        oflownet=_oflownet_config(meta1)), meta1)
   shape = (int(meta1["height"]), int(meta1["width"]), 3)
   template = kfnet.init(jax.random.key(0), cfg, shape)
   return cfg, {

@@ -37,6 +37,13 @@ def main(argv=None):
   p.add_argument("--out", required=True)
   p.add_argument("--dtype", default="bfloat16",
                  choices=("bfloat16", "float32"))
+  p.add_argument("--serving_w_scale", type=float, default=None,
+                 help="calibrated serving w_scale for these weights when "
+                      "it differs from the KFNetConfig default (e.g. 2.0 "
+                      "for norm='none' trunks — CALIBRATION.md §7); "
+                      "pretrained.load applies it automatically")
+  p.add_argument("--serving_chi2_threshold", type=float, default=None,
+                 help="calibrated serving chi2 gate, same contract")
   args = p.parse_args(argv)
 
   src = os.path.join(args.src, args.stage)
@@ -50,6 +57,10 @@ def main(argv=None):
   n_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
   meta = {**meta, "params_dtype": args.dtype,
           "release_source_stage": args.stage}
+  if args.serving_w_scale is not None:
+    meta["serving_w_scale"] = args.serving_w_scale
+  if args.serving_chi2_threshold is not None:
+    meta["serving_chi2_threshold"] = args.serving_chi2_threshold
   ckpt_lib.export_params(os.path.abspath(args.out), params, meta=meta)
   print(f"exported {args.stage} -> {args.out} "
         f"({args.dtype}, {n_bytes/1e6:.1f} MB of params)")

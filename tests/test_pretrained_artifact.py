@@ -97,6 +97,10 @@ def test_full_size_artifact_loads_and_filters(root, norm, scene):
 
   cfg, params = pretrained.load(root, scene=scene)
   assert cfg.scoordnet.norm == norm
+  # exports carry their own calibrated serving point: the nonorm trunk
+  # serves at w_scale=2 (CALIBRATION.md §7), the GN trunk at the
+  # KFNetConfig default 16 (§2) — the loader applies meta, no footgun
+  assert cfg.w_scale == (2.0 if norm == "none" else 16.0)
   meta = ckpt_lib.load_meta(os.path.join(root, f"stage3_{scene}"))
   assert meta["params_dtype"] == "bfloat16"
   assert meta["full_size"] and int(meta["height"]) == 480
@@ -143,3 +147,22 @@ def test_meta_without_norm_field_means_groupnorm():
   assert cfg.norm == "none"
   cfg = pretrained._scoordnet_config(dict(base, full_size=True))
   assert cfg.norm == "group"
+
+
+def test_serving_point_meta_applied():
+  """Exports can record the serving point their weights were calibrated
+  at (export_release --serving_*); the loader applies it so e.g. a
+  norm="none" release serves at w_scale=2 (CALIBRATION.md §7) without
+  the user having to remember the number. Absent fields keep the
+  KFNetConfig defaults untouched."""
+  from kfnet_tpu import pretrained
+  from kfnet_tpu.models import kfnet
+
+  base = kfnet.KFNetConfig()
+  assert pretrained._apply_serving(base, {}) is base
+  cfg = pretrained._apply_serving(base, {"serving_w_scale": 2.0})
+  assert cfg.w_scale == 2.0
+  assert cfg.chi2_threshold == base.chi2_threshold
+  cfg = pretrained._apply_serving(
+      base, {"serving_w_scale": 2, "serving_chi2_threshold": 7.81})
+  assert cfg.w_scale == 2.0 and cfg.chi2_threshold == 7.81
