@@ -41,8 +41,11 @@ class SCoordNetConfig:
   coord_offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
   coord_scale: float = 1.0
   compute_dtype: str = "bfloat16"
-  # "group" | "none". "none" is the reference-parity arch (the TF1 net
-  # has no normalization). The 12-cell full-size study (DESIGN.md §8,
+  # "group" | "none" | "ws". "none" is the reference-parity arch (the
+  # TF1 net has no normalization); "ws" is the normalizer-free
+  # weight-standardized variant (nn/layers.standardize_weights) — same
+  # inference graph/speed class as "none", targets its transfer
+  # instability. The 12-cell full-size study (DESIGN.md §8,
   # docs/NORM_STUDY*.json) measured it 1.054x faster (442 vs 420 fps)
   # and CI-better on every trained scene×seed cell, but seed-unstable on
   # held-out-scene transfer (one CI-inversion per seed). Default stays

@@ -69,6 +69,24 @@ def _pallas_conv_eligible(h, w, cin, cout, kernel, stride, dilation,
   return pad_bytes + acc_bytes + x_bytes < 11 * 1024 * 1024
 
 
+def standardize_weights(w, gain, eps: float = 1e-8):
+  """Scaled weight standardization (the NF-net / WS recipe, adapted to
+  this codebase's He init): per OUTPUT channel, re-center and re-scale
+  the (K, K, Cin) filter to std sqrt(2/fan_in), times a learnable gain.
+
+  At He init (``_fan_in_init``: N(0, 2/N)) this is a near-identity, so
+  training starts with plain-conv dynamics; thereafter the filter's
+  direction is the only trainable degree of freedom besides ``gain`` —
+  the magnitude/scale drift that free conv weights accumulate (and that
+  GroupNorm would have absorbed) is structurally pinned. Pure function
+  of the params: under a jitted scan it is loop-invariant (hoisted by
+  XLA), and it is O(K²·Cin·Cout) — noise next to the conv itself."""
+  n = w.shape[0] * w.shape[1] * w.shape[2]
+  mu = w.mean(axis=(0, 1, 2), keepdims=True)
+  var = jnp.square(w - mu).mean(axis=(0, 1, 2), keepdims=True)
+  return (w - mu) * jax.lax.rsqrt(var * (n / 2.0) + eps) * gain
+
+
 def conv(out_ch: int,
          kernel: int = 3,
          stride: int = 1,
@@ -76,17 +94,22 @@ def conv(out_ch: int,
          padding: str = "SAME",
          use_bias: bool = True,
          compute_dtype=jnp.bfloat16,
-         impl: str = "xla") -> Layer:
+         impl: str = "xla",
+         weight_standardize: bool = False) -> Layer:
   """2D convolution, NHWC/HWIO, fp32 params, bf16 MXU compute.
 
   impl: "xla" (default; differentiable — training uses this) or
   "pallas_3x3" (inference fast path; falls back to XLA when the layer
-  shape is ineligible — see _pallas_conv_eligible)."""
+  shape is ineligible — see _pallas_conv_eligible).
+  weight_standardize: reparameterize the weights through
+  ``standardize_weights`` (adds a per-output-channel ``gain`` param)."""
 
   def init(key, in_shape):
     h, w, c = in_shape
     wshape = (kernel, kernel, c, out_ch)
     params = {"w": _fan_in_init(key, wshape, kernel * kernel * c)}
+    if weight_standardize:
+      params["gain"] = jnp.ones((out_ch,), jnp.float32)
     if use_bias:
       params["b"] = jnp.zeros((out_ch,), jnp.float32)
     if padding == "SAME":
@@ -97,6 +120,9 @@ def conv(out_ch: int,
     return params, (oh, ow, out_ch)
 
   def apply(params, x):
+    if weight_standardize:
+      params = dict(params,
+                    w=standardize_weights(params["w"], params["gain"]))
     if (impl == "pallas_3x3" and x.ndim == 3
         and _pallas_conv_eligible(x.shape[0], x.shape[1], x.shape[2],
                                   out_ch, kernel, stride, dilation,
@@ -334,15 +360,18 @@ def conv_block(out_ch: int, kernel: int = 3, stride: int = 1,
                compute_dtype=jnp.bfloat16, impl: str = "xla") -> Layer:
   """conv [+ norm] [+ ReLU] — the reference's standard unit.
 
-  norm: "group" / True → GroupNorm; "none" / False → plain conv+bias (the
-  reference's caffe-style nets use no normalization; since the one-pass
-  spatial-reduce GN rewrite the norm costs only ~0.1 ms of the ~2.4 ms
-  filter step — see docs/DESIGN.md §6 — so "none" is for reference-parity
-  imports, not speed).
+  norm: "group" / True → GroupNorm; "none" / False → plain conv+bias
+  (the reference's caffe-style nets use no normalization); "ws" →
+  weight-standardized conv+bias, no activation norm (the normalizer-free
+  middle ground: keeps norm="none"'s metric activation scale and its
+  inference speed — the reparameterization folds into the weights /
+  hoists out of the scan — while pinning the weight-scale drift that
+  GroupNorm absorbs; round-4 transfer-stability candidate, DESIGN.md §8).
   """
   use_norm = norm is True or norm == "group"
   ls = [conv(out_ch, kernel, stride, use_bias=not use_norm,
-             compute_dtype=compute_dtype, impl=impl)]
+             compute_dtype=compute_dtype, impl=impl,
+             weight_standardize=norm == "ws")]
   if use_norm:
     ls.append(group_norm())
   if act:

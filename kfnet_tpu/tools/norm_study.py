@@ -93,6 +93,11 @@ def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--gn_dir", default=".protocol_cache/full")
   p.add_argument("--nonorm_dir", default=".protocol_cache/nonorm")
+  p.add_argument("--alt_norm", default="none",
+                 help="trunk norm of the --nonorm_dir cache: 'none' "
+                      "(reference parity) or 'ws' (weight-standardized) "
+                      "— the study is always <alt> paired against the "
+                      "GroupNorm baseline in --gn_dir")
   p.add_argument("--scene", default="sceneA")
   p.add_argument("--test_frames", type=int, default=480)
   p.add_argument("--eval_traj_offset", type=int, default=7)
@@ -106,9 +111,11 @@ def main(argv=None):
   p.add_argument("--report", default="")
   args = p.parse_args(argv)
 
+  alt = args.alt_norm
   rcfg = configs.synthetic_ransac(True)
   out = {"scene": args.scene, "test_frames": args.test_frames,
          "eval_traj_offset": args.eval_traj_offset,
+         "alt_norm": alt,
          "seed_offset": args.seed_offset}
 
   # ---- speed first (random-content frames; weights don't matter) -------
@@ -117,7 +124,7 @@ def main(argv=None):
                       .astype(np.float32))
   on_tpu = jax.default_backend() == "tpu"
   perf = {}
-  for norm in () if args.skip_perf else ("group", "none"):
+  for norm in () if args.skip_perf else ("group", alt):
     cfg = kfnet_config_for(norm, on_tpu)
     params = init_for(cfg)
     fps = bench_fps(cfg, params, bimgs)
@@ -127,14 +134,14 @@ def main(argv=None):
                   "mfu": round(flops_per_frame * fps / peak, 4)}
     del params
   if perf:
-    perf["none_over_group_speedup"] = round(
-        perf["none"]["fps"] / perf["group"]["fps"], 4)
+    perf[f"{alt}_over_group_speedup"] = round(
+        perf[alt]["fps"] / perf["group"]["fps"], 4)
     out["perf"] = perf
     print(json.dumps({"perf": perf}), flush=True)
 
   # ---- accuracy: paired eval on the same fresh trajectory --------------
   runs = {}
-  for norm, d_dir in (("group", args.gn_dir), ("none", args.nonorm_dir)):
+  for norm, d_dir in (("group", args.gn_dir), (alt, args.nonorm_dir)):
     # norm is passed explicitly for BOTH sides (never None = "config
     # default"): each cache must be loaded as the trunk it was trained
     # with, regardless of what the shipped default is.
@@ -148,10 +155,10 @@ def main(argv=None):
     del cfg, params, d
 
   paired = {}
-  eg, en = runs["group"]["errors"], runs["none"]["errors"]
+  eg, en = runs["group"]["errors"], runs[alt]["errors"]
   for mode in ("meas", "filt"):
     for met, pre in (("t", "translation_"), ("r", "rotation_")):
-      paired[f"{mode}_{pre}none_minus_group"] = stats.paired_delta_report(
+      paired[f"{mode}_{pre}{alt}_minus_group"] = stats.paired_delta_report(
           en[f"{met}_{mode}"], eg[f"{met}_{mode}"], block=args.block,
           prefix="")
   out["paired"] = paired

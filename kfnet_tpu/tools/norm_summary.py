@@ -26,10 +26,12 @@ import json
 
 from kfnet_tpu.tools.calib_summary import SCENE_SCALE
 
-METRICS = (("meas ΔT mm", "meas_translation_none_minus_group", True),
-           ("filt ΔT mm", "filt_translation_none_minus_group", True),
-           ("meas Δrot°", "meas_rotation_none_minus_group", False),
-           ("filt Δrot°", "filt_rotation_none_minus_group", False))
+def metrics_for(alt: str):
+  """Column spec for an ``alt − group`` study (alt: "none", "ws", …)."""
+  return (("meas ΔT mm", f"meas_translation_{alt}_minus_group", True),
+          ("filt ΔT mm", f"filt_translation_{alt}_minus_group", True),
+          ("meas Δrot°", f"meas_rotation_{alt}_minus_group", False),
+          ("filt Δrot°", f"filt_rotation_{alt}_minus_group", False))
 
 
 def _verdict(lo, hi):
@@ -51,10 +53,16 @@ def _fmt_cell(stat, scale, translation):
 
 def load_rows(paths):
   rows = []
+  alts = set()
   for path in paths:
     with open(path) as f:
       art = json.load(f)
     scene = art["scene"]
+    alt = art.get("alt_norm", "none")  # pre-field artifacts were GN-vs-none
+    alts.add(alt)
+    if len(alts) > 1:
+      raise SystemExit(f"mixed studies in one summary ({sorted(alts)}) — "
+                       "summarize each alt norm separately")
     seed = 2 if art.get("seed_offset") else 1
     if scene not in SCENE_SCALE:
       # fail loud: an unknown scene would be normalized at the wrong
@@ -64,16 +72,16 @@ def load_rows(paths):
     scale = SCENE_SCALE[scene]
     cells = {}
     verdicts = {}
-    for label, key, is_t in METRICS:
+    for label, key, is_t in metrics_for(alt):
       stat = art["paired"][key]
       unit = (1000.0 / scale) if is_t else 1.0
       lo, hi = (c * unit for c in stat["delta_mean_ci95"])
       cells[label] = _fmt_cell(stat, scale, is_t)
       verdicts[label] = _verdict(lo, hi)
-    rows.append({"path": path, "scene": scene, "seed": seed,
+    rows.append({"path": path, "scene": scene, "seed": seed, "alt": alt,
                  "cells": cells, "verdicts": verdicts,
                  "perf": art.get("perf"),
-                 "medians": {c: art[f"{c}_report"] for c in ("group", "none")
+                 "medians": {c: art[f"{c}_report"] for c in ("group", alt)
                              if f"{c}_report" in art}})
   rows.sort(key=lambda r: (r["seed"], r["scene"]))
   return rows
@@ -87,7 +95,9 @@ def main(argv=None):
   args = p.parse_args(argv)
 
   rows = load_rows(args.artifacts)
-  heads = ["scene", "seed"] + [m[0] for m in METRICS]
+  alt = rows[0]["alt"]
+  metrics = metrics_for(alt)
+  heads = ["scene", "seed"] + [m[0] for m in metrics]
   if args.markdown:
     print("| " + " | ".join(heads) + " |")
     print("|" + "---|" * len(heads))
@@ -96,18 +106,19 @@ def main(argv=None):
     print(" | ".join(heads))
     line = "{}"
   for r in rows:
-    cols = [r["scene"], str(r["seed"])] + [r["cells"][m[0]] for m in METRICS]
+    cols = [r["scene"], str(r["seed"])] + [r["cells"][m[0]] for m in metrics]
     print(line.format(" | ".join(cols)))
 
   # aggregate verdict counts per metric
   print()
-  for label, _, _ in METRICS:
+  for label, _, _ in metrics:
     vs = [r["verdicts"][label] for r in rows]
     print(f"{label}: {vs.count('win')} win / {vs.count('~')} neutral / "
           f"{vs.count('harm')} harm of {len(vs)}")
-  perfs = [r["perf"]["none_over_group_speedup"] for r in rows if r["perf"]]
+  perfs = [r["perf"][f"{alt}_over_group_speedup"] for r in rows if r["perf"]]
   if perfs:
-    print(f"speedup none/group: {perfs} (weight-independent; measured once)")
+    print(f"speedup {alt}/group: {perfs} "
+          "(weight-independent; measured once)")
 
 
 if __name__ == "__main__":
