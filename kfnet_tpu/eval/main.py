@@ -101,6 +101,13 @@ def main(argv=None):
       # rule as pretrained._scoordnet_config
       scfg = dataclasses.replace(scfg, norm=meta["scoordnet_norm"])
     cfg = kfnet_lib.KFNetConfig(scoordnet=scfg, oflownet=exp.oflownet)
+    # Apply the export's calibrated serving point (serving_w_scale /
+    # serving_chi2_threshold) exactly like pretrained.load does — the
+    # shipped nonorm release serves at w_scale=2, and evaluating it at
+    # the GN default 16 silently mis-calibrates the filter. Explicit
+    # --w_scale/--chi2_threshold flags still win (applied below).
+    from kfnet_tpu import pretrained as pretrained_lib
+    cfg = pretrained_lib._apply_serving(cfg, meta)
     params = kfnet_lib.init(jax.random.key(exp.seed), cfg, image_shape)
     params = ckpt_lib.load_params(args.kfnet_ckpt, template=params)
   else:

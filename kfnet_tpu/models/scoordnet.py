@@ -90,6 +90,14 @@ def _adjusted_strides(strides, stem_s2d):
 
 
 def _layer_list(config: SCoordNetConfig) -> list:
+  if config.conv_impl == "pallas_fused" and config.norm != "group":
+    # The fused trunk's Pallas prologues/epilogues ARE GroupNorm passes
+    # (see _apply_fused_trunk); on a normless/ws trunk they would apply
+    # normalization the weights were never trained with. Reject at build
+    # time — the old inference-time `assert` is stripped under python -O.
+    raise ValueError(
+        f"conv_impl='pallas_fused' requires norm='group' (got "
+        f"norm={config.norm!r}); use conv_impl='xla' or 'pallas_3x3'")
   strides = _adjusted_strides(config.strides, config.stem_s2d)
   impl = "xla" if config.conv_impl == "pallas_fused" else config.conv_impl
   blocks = [

@@ -509,11 +509,12 @@ def main(argv=None):
                       "(required for long statistical-power test "
                       "sequences at full size — see run_protocol)")
   p.add_argument("--scoordnet_norm", default=None,
-                 choices=("group", "none"),
+                 choices=("group", "none", "ws"),
                  help="override SCoordNet trunk normalization (ablation; "
-                      "'none' ≈ the reference's plain conv+ReLU trunk). "
-                      "Use a dedicated --work_dir: stage cache names do "
-                      "not encode the norm")
+                      "'none' ≈ the reference's plain conv+ReLU trunk, "
+                      "'ws' = scaled weight standardization). Use a "
+                      "dedicated --work_dir: stage cache names do not "
+                      "encode the norm")
   p.add_argument("--full_size", action="store_true",
                  help="flagship 23.6M-param bf16 nets at 640x480 (the "
                       "acceptance-protocol dress rehearsal; ~2-3 h on a "

@@ -202,7 +202,7 @@ def run_soak(params, config: kfnet.KFNetConfig, num_frames: int,
       "steady_state_fps": steady_fps,
       "rss_start_mb": rss0_kb / 1024.0,
       "rss_growth_mb": ((rss_full_kb - rss0_kb) / 1024.0
-                        if rss_full_kb is not None else 0.0),
+                        if rss_full_kb is not None else None),
       "rss_ragged_tail_mb": (
           (rss_tail_kb - (rss_full_kb or rss0_kb)) / 1024.0
           if rss_tail_kb is not None else None),
@@ -238,7 +238,11 @@ def healthy(report: dict, consistent_drift: float = 0.15,
     bad.append(f"consistency fraction drifted {drift:.3f} "
                f"({report['consistent_frac_early']:.3f} -> "
                f"{report['consistent_frac_late']:.3f})")
-  if report["rss_growth_mb"] > rss_growth_mb:
+  if report["rss_growth_mb"] is None:
+    # fewer than two full-size chunks streamed: the growth window never
+    # existed, so the criterion cannot pass vacuously — flag it
+    bad.append("RSS growth window absent (stream too short to measure)")
+  elif report["rss_growth_mb"] > rss_growth_mb:
     bad.append(f"host RSS grew {report['rss_growth_mb']:.0f} MB")
   return bad
 

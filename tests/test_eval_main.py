@@ -98,6 +98,58 @@ def test_eval_main_cli_chi2_override(tmp_path, monkeypatch):
   assert captured["threshold"] == 11.34
 
 
+def test_eval_main_kfnet_ckpt_serving_meta(tmp_path, monkeypatch):
+  """--kfnet_ckpt applies the export meta's calibrated serving point
+  (serving_w_scale / serving_chi2_threshold) exactly like
+  pretrained.load — the shipped nonorm release serves at w_scale=2 and
+  must not silently evaluate at the GN default 16. Explicit CLI flags
+  still win (round-4 advisor finding)."""
+  import dataclasses
+
+  import jax
+
+  from kfnet_tpu.eval import main as eval_main
+  from kfnet_tpu.models import kfnet
+  from kfnet_tpu.utils import checkpoint as ckpt_lib
+  from tests import tiny_configs as tc
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=3)
+  tiny = tc.tiny_kfnet()
+
+  orig_from_args = eval_main.config_lib.from_args
+
+  def tiny_exp(args):
+    exp = orig_from_args(args)
+    return dataclasses.replace(exp, scoordnet=tiny.scoordnet,
+                               oflownet=tiny.oflownet)
+
+  monkeypatch.setattr(eval_main.config_lib, "from_args", tiny_exp)
+
+  # a real tiny export carrying a serving point in its meta
+  cfg = kfnet.KFNetConfig(scoordnet=tiny.scoordnet, oflownet=tiny.oflownet)
+  params = kfnet.init(jax.random.key(0), cfg, tc.IMG)
+  ckpt_dir = str(tmp_path / "kf_export")
+  ckpt_lib.export_params(ckpt_dir, params,
+                         meta={"serving_w_scale": 2.0,
+                               "serving_chi2_threshold": 2.37})
+
+  captured = {}
+  orig_eval = eval_main.eval_sequence.evaluate_sequence
+
+  def spy(params, cfg, *a, **kw):
+    captured["w"] = cfg.w_scale
+    captured["chi2"] = cfg.chi2_threshold
+    return orig_eval(params, cfg, *a, **kw)
+
+  monkeypatch.setattr(eval_main.eval_sequence, "evaluate_sequence", spy)
+  base = ["--input_folder", root, "--scene", "chess",
+          "--kfnet_ckpt", ckpt_dir]
+  eval_main.main(base)
+  assert captured == {"w": 2.0, "chi2": 2.37}
+  eval_main.main(base + ["--w_scale", "5"])  # explicit flag wins
+  assert captured == {"w": 5.0, "chi2": 2.37}
+
+
 def test_eval_main_cli_pose_smoothing(tmp_path, monkeypatch):
   """--pose_smooth_beta: the report is recomputed from the smoothed
   trajectory (and labeled), and the dumped poses are the smoothed ones."""

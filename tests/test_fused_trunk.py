@@ -32,6 +32,18 @@ def test_fused_suffix_start():
   assert k <= 4
 
 
+def test_fused_trunk_rejects_non_group_norm():
+  """conv_impl='pallas_fused' with a normless/ws trunk must fail loudly
+  at build/init time (the fused chain's prologues ARE GroupNorm passes;
+  the old inference-time assert vanished under python -O)."""
+  import pytest
+
+  for norm in ("none", "ws"):
+    cfg = dataclasses.replace(small_cfg("pallas_fused"), norm=norm)
+    with pytest.raises(ValueError, match="pallas_fused"):
+      scoordnet.init(jax.random.key(0), cfg, (16, 16, 3))
+
+
 def test_fused_trunk_matches_serial():
   cfg_x = small_cfg("xla")
   cfg_p = small_cfg("pallas_fused")

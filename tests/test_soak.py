@@ -77,6 +77,18 @@ def test_soak_5000_frames():
   assert rep["consistent_frac_late"] > 0.5, rep
 
 
+def test_soak_short_stream_flags_missing_rss_window():
+  """A stream too short to bracket a full RSS measurement window must be
+  FLAGGED by healthy(), not pass the criterion vacuously (round-4
+  advisor finding: rss_growth_mb silently reported 0.0)."""
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(0), cfg, tc.IMG)
+  rep = soak.run_soak(params, cfg, 20, 48, 64, chunk=24, log=None)
+  assert rep["rss_growth_mb"] is None
+  problems = soak.healthy(rep)
+  assert any("RSS growth window absent" in p for p in problems), problems
+
+
 def test_soak_empty_stream_raises():
   """frames<=0 must be a clear argument error, not an UnboundLocalError
   at the timing bookkeeping."""
