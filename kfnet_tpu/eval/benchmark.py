@@ -149,6 +149,15 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
 
   results["streaming_fps_device"] = stream_fps(device_frames)
   results["streaming_fps"] = stream_fps(host_frames, k=1)  # transfer-bound
+  # Camera-origin format: uint8 host frames upload 1 byte/channel and are
+  # cast to [0,1] f32 on device (models/scoordnet.ingest) — 4x less on
+  # the wire than f32, which IS the streaming bottleneck on a tunneled
+  # host; the streamer additionally overlaps each chunk's upload with the
+  # previous chunk's compute (filter/sequence.py pipelining).
+  host_frames_u8 = [np.ascontiguousarray((f * 255).astype(np.uint8))
+                    for f in reps_np]
+  stream_once(host_frames_u8)  # separate compile (uint8 input graph)
+  results["streaming_fps_host_uint8"] = stream_fps(host_frames_u8, k=1)
 
   # Serving mode: B independent sequences filtered in lockstep (time-major
   # batched scan) — amortizes per-step overhead and fills the MXU at small
@@ -221,6 +230,44 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
     except Exception as e:  # pragma: no cover - hardware-path insurance
       results["online_tick_ms"] = None
       results["online_tick_error"] = repr(e)
+
+    # Host-origin ticks: the frame arrives as host numpy EVERY tick (the
+    # reference's per-frame feed_dict regime, SURVEY.md §3.3) and its
+    # upload rides the tick. uint8 camera frames transfer 1 byte/channel
+    # and cast on device (models/scoordnet.ingest) — 4x less wire than
+    # f32 on the transfer-bound serving link.
+    def tick_ms(reloc, frame, warm=2, k=3, reps=5):
+      for _ in range(warm):
+        reloc.process(frame)
+      times = []
+      for _ in range(k):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+          reloc.process(frame)
+        times.append((time.perf_counter() - t0) / reps)
+      return 1e3 * float(np.median(times))
+
+    img_np = np.asarray(img)
+    img_u8 = (img_np * 255).astype(np.uint8)
+    try:
+      reloc_h = OnlineRelocalizer(params, cfg, K)
+      results["online_host_tick_ms"] = tick_ms(reloc_h, img_np)
+      # same relocalizer: the dtype switch retraces once, state carries on
+      results["online_host_uint8_tick_ms"] = tick_ms(reloc_h, img_u8)
+    except Exception as e:  # pragma: no cover - hardware-path insurance
+      results["online_host_uint8_tick_ms"] = None
+      results["online_host_error"] = repr(e)
+    try:
+      tick_u8 = np.ascontiguousarray(
+          np.broadcast_to(img_u8, (B,) + img_u8.shape))
+      pfleet_h = FleetRelocalizer(params, cfg, K, batch_size=B,
+                                  pipeline_depth=1)
+      results["fleet_pipelined_host_uint8_tick_ms_b4"] = tick_ms(
+          pfleet_h, tick_u8, warm=3)
+      pfleet_h.flush()
+    except Exception as e:  # pragma: no cover - hardware-path insurance
+      results["fleet_pipelined_host_uint8_tick_ms_b4"] = None
+      results["fleet_host_error"] = repr(e)
   return results
 
 

@@ -98,6 +98,11 @@ class OnlineRelocalizer:
   def process(self, image) -> tuple[np.ndarray | None, dict]:
     """Feed one (H, W, 3) frame; returns (T_wc 4x4 or None, info dict).
 
+    Camera-origin uint8 frames are first-class: they upload 1
+    byte/channel (4x less wire than f32 — the dominant per-tick cost on
+    a bandwidth-bound link) and are cast to [0, 1] on device
+    (models/scoordnet.ingest). f32 frames in [0, 1] work unchanged.
+
     info: consistent_frac (filter health; ~0 means the prior was rejected
     everywhere, e.g. after a cut), num_inliers / inlier_ratio when pose
     solving is enabled.
@@ -277,6 +282,9 @@ class FleetRelocalizer:
 
   def process(self, images, reset=None):
     """Feed one (B, H, W, 3) tick; returns (poses (B, 4, 4) or None, info).
+
+    uint8 frames are first-class (uploaded 1 byte/channel, cast to
+    [0, 1] on device — see ``OnlineRelocalizer.process``).
 
     Args:
       reset: optional (B,) bool mask — True slots start a new session at

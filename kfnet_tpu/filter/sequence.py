@@ -96,12 +96,24 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
   :func:`run_filter_chunked`.
 
   Args:
-    frame_source: iterable of (H, W, 3) numpy/jnp frames.
+    frame_source: iterable of (H, W, 3) numpy/jnp frames. uint8 frames
+      are first-class (kept 1 byte/channel through host stack, transfer,
+      and the hoisted s2d stem; cast to [0, 1] f32 on device inside the
+      scan) — the host-origin serving format.
     return_aux: also yield the stacked per-step aux dict (consistency
       mask, innovation stats — see ``kfnet.filter_step``) as a third
       element. Frame 0 is measurement-only and has no filter step, so in
       the FIRST yielded chunk the aux rows align with ``xs[1:]``; in
       every later chunk they align with ``xs`` 1:1.
+
+  The generator is software-pipelined one chunk deep: chunk k's host
+  stack + upload + dispatch are enqueued BEFORE chunk k−1's outputs are
+  yielded, so the host→device transfer of k overlaps the device compute
+  of k−1 and the consumer's sync of k−1 returns promptly (on a
+  bandwidth-bound link the upload is the dominant cost — serializing it
+  with compute was the round-4 streaming bottleneck). Costs one extra
+  chunk of inputs+outputs resident in HBM; outputs and their order are
+  identical to the unpipelined form.
   """
   import numpy as np
 
@@ -130,31 +142,35 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
   def emit(xs, Ps, auxs):
     return (xs, Ps, auxs) if return_aux else (xs, Ps)
 
+  pending = None  # previously dispatched chunk's (not yet yielded) outputs
   for frame in frame_source:
     buf.append(frame)
-    if first and len(buf) == chunk_size + 1:
-      # first chunk holds one extra frame (frame 0 = measurement-only)
-      xs, Ps, carry, auxs = flush(buf, carry, True)
+    # first chunk holds one extra frame (frame 0 = measurement-only)
+    if len(buf) == (chunk_size + 1 if first else chunk_size):
+      xs, Ps, carry, auxs = flush(buf, carry, first)  # upload+dispatch k
       first = False
       buf = []
-      yield emit(xs, Ps, auxs)
-    elif not first and len(buf) == chunk_size:
-      xs, Ps, carry, auxs = flush(buf, carry, False)
-      buf = []
-      yield emit(xs, Ps, auxs)
+      if pending is not None:
+        yield pending  # consumer syncs k-1 while k computes
+      pending = emit(xs, Ps, auxs)
   if buf:
     # ragged tail: pad to chunk shape, then drop padded outputs.
     n = len(buf)
     if first:
       # whole sequence shorter than one chunk: single ragged compile
       xs, Ps, _, auxs = flush(buf, None, True)
-      yield emit(xs, Ps, auxs)
+      tail = emit(xs, Ps, auxs)
     else:
       pad = [buf[-1]] * (chunk_size - n)
       xs, Ps, _, auxs = flush(buf + pad, carry, False)
-      yield emit(xs[:n], Ps[:n],
-                 None if auxs is None
-                 else jax.tree_util.tree_map(lambda a: a[:n], auxs))
+      tail = emit(xs[:n], Ps[:n],
+                  None if auxs is None
+                  else jax.tree_util.tree_map(lambda a: a[:n], auxs))
+    if pending is not None:
+      yield pending
+    pending = tail
+  if pending is not None:
+    yield pending
 
 
 def run_filter_chunked(params, config: kfnet.KFNetConfig, frame_source,

@@ -114,9 +114,10 @@ def init(key: jax.Array, config: OFlowNetConfig,
 
 
 def encode(params, config: OFlowNetConfig, image: jnp.ndarray) -> jnp.ndarray:
-  """Shared encoder: (..., H, W, 3) [or pre-s2d form] -> (..., H/8, W/8, C)."""
-  from kfnet_tpu.models.scoordnet import maybe_space_to_depth
-  image = maybe_space_to_depth(config, image)
+  """Shared encoder: (..., H, W, 3) [or pre-s2d form] -> (..., H/8, W/8, C).
+  uint8 frames are cast+scaled on device (scoordnet.ingest)."""
+  from kfnet_tpu.models.scoordnet import ingest, maybe_space_to_depth
+  image = ingest(maybe_space_to_depth(config, image))
   return _encoder(config).apply(params["encoder"], image)
 
 

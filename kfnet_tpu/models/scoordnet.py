@@ -127,10 +127,24 @@ def build(config: SCoordNetConfig) -> L.Layer:
 def maybe_space_to_depth(config, image: jnp.ndarray) -> jnp.ndarray:
   """Apply the s2d stem unless the input is already transformed (callers
   like filter/sequence pre-transform whole sequences once; the 12-channel
-  input is unambiguous vs raw RGB)."""
+  input is unambiguous vs raw RGB). Dtype-agnostic (pure layout op):
+  uint8 camera frames stay 1 byte/channel through the hoisted stem."""
   f = config.stem_s2d
   if f > 1 and image.shape[-1] == 3:
     return L.space_to_depth(f).apply({}, image)
+  return image
+
+
+def ingest(image: jnp.ndarray) -> jnp.ndarray:
+  """Camera-origin ingestion: uint8 frames (0..255) are accepted anywhere
+  a float image is, cast+scaled to [0, 1] ON DEVICE (trace-time dtype
+  dispatch — zero cost for float inputs). Hosts keep frames uint8
+  end-to-end, so the host→device transfer and any HBM-resident stream is
+  1 byte/channel instead of 4 — on a bandwidth-bound serving link that is
+  a 4x cut of the dominant per-tick cost (the reference fed host images
+  every frame, SURVEY.md §3.3; this is the TPU-native equivalent)."""
+  if image.dtype == jnp.uint8:
+    return image.astype(jnp.float32) * (1.0 / 255.0)
   return image
 
 
@@ -211,14 +225,15 @@ def apply(params, config: SCoordNetConfig, image: jnp.ndarray):
   """Forward pass.
 
   Args:
-    image: (..., H, W, 3) in [0, 1], or the pre-space-to-depth'd
-      (..., H/f, W/f, 3f²) form.
+    image: (..., H, W, 3) in [0, 1] (f32/bf16) or uint8 in [0, 255]
+      (cast on device — see ``ingest``), or the pre-space-to-depth'd
+      (..., H/f, W/f, 3f²) form of either.
 
   Returns:
     coords: (..., H/8, W/8, 3) world coordinates.
     variance: (..., H/8, W/8, 1) measurement-noise variance σ² (positive).
   """
-  image = maybe_space_to_depth(config, image)
+  image = ingest(maybe_space_to_depth(config, image))
   if config.conv_impl == "pallas_fused" and image.ndim == 3:
     out = _apply_fused_trunk(params, config, image).astype(jnp.float32)
   else:

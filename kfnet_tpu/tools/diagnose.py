@@ -34,14 +34,55 @@ from kfnet_tpu.eval import eval_sequence
 from kfnet_tpu.tools import calibrate, protocol
 
 
-def residual_stats(coords, gt_coords, valid):
+def _kabsch(p, g):
+  """Best-fit rigid transform (R, t) mapping points p -> g (least
+  squares over rows; standard Kabsch/Procrustes without scaling)."""
+  pc, gc = p.mean(axis=0), g.mean(axis=0)
+  H = (p - pc).T @ (g - gc)
+  U, _, Vt = np.linalg.svd(H)
+  d = np.sign(np.linalg.det(Vt.T @ U.T))
+  R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+  t = gc - R @ pc
+  return R, t
+
+
+def _rank(a):
+  """Ranks (average-free, ordinal) for a Spearman-style correlation."""
+  r = np.empty(a.size, np.float64)
+  r[np.argsort(a, kind="stable")] = np.arange(a.size, dtype=np.float64)
+  return r
+
+
+def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
   """Per-sequence coordinate residual: median norm, lag-1 spatial
   autocorrelation of the residual field (mean over frames/channels), and
   the per-frame GLOBAL bias ‖mean residual vector‖. The bias statistic
   separates two failure shapes PnP treats very differently: zero-mean
   scatter (RANSAC rejects or averages it out) vs a rigid shift of the
   whole coordinate field (every point stays an inlier, the pose absorbs
-  the shift — invisible to both the median norm and lag-1 autocorr)."""
+  the shift — invisible to both the median norm and lag-1 autocorr).
+
+  Rigid (Kabsch) decomposition — the statistic the round-4 frame-bias
+  number turned out to be too weak to see: per frame, fit the best rigid
+  transform aligning the predicted field to GT.
+    * median_rigid_move_m — how far that rigid correction moves the
+      points (the POSE-SHAPED component of field error: a rotation /
+      translation-correlated deformation that PnP cannot reject, because
+      it IS a pose — every point stays an inlier and the solver returns
+      the deformed pose with high confidence). A pure global shift is
+      the special case frame_bias measures; rotation-like deformations
+      have small mean but large rigid_move.
+    * median_resid_after_rigid_m — the non-rigid remainder (what PnP can
+      actually average out or reject).
+
+  σ-ranking quality (needs ``variance``): the solver preselects the
+  top-k lowest-σ cells (pose/ransac.select_confident), so a trunk whose
+  σ mis-ranks under transfer feeds PnP a worse pool than the field
+  median suggests.
+    * median_topk_coord_err_m — field error restricted to that pool.
+    * sigma_err_rank_corr — mean per-frame Spearman ρ(σ, ‖err‖); ~0
+      means confidence is uninformative, <0 means anti-informative.
+  """
   e = np.asarray(coords, np.float64) - np.asarray(gt_coords, np.float64)
   v = np.asarray(valid, bool)
   norms = np.linalg.norm(e, axis=-1)[v]
@@ -56,13 +97,49 @@ def residual_stats(coords, gt_coords, valid):
       b = e[t, :, 1:, c][v[t, :, :-1] & v[t, :, 1:]]
       if a.size > 100 and a.std() > 0 and b.std() > 0:
         cors.append(np.corrcoef(a, b)[0, 1])
-  return {
+  # rigid/non-rigid split per frame
+  p_all = np.asarray(coords, np.float64)
+  g_all = np.asarray(gt_coords, np.float64)
+  rigid_move, resid_after = [], []
+  for t in range(e.shape[0]):
+    m = v[t]
+    if m.sum() <= 100:
+      continue
+    p, g = p_all[t][m], g_all[t][m]
+    R, tt = _kabsch(p, g)
+    p_fit = p @ R.T + tt
+    rigid_move.append(float(np.median(np.linalg.norm(p_fit - p, axis=-1))))
+    resid_after.append(float(np.median(np.linalg.norm(p_fit - g, axis=-1))))
+  out = {
       "median_coord_err_m": float(np.median(norms)) if norms.size else None,
       "mean_coord_err_m": float(norms.mean()) if norms.size else None,
       "spatial_autocorr_lag1": float(np.mean(cors)) if cors else None,
       "median_frame_bias_m": (float(np.median(frame_bias))
                               if frame_bias else None),
+      "median_rigid_move_m": (float(np.median(rigid_move))
+                              if rigid_move else None),
+      "median_resid_after_rigid_m": (float(np.median(resid_after))
+                                     if resid_after else None),
   }
+  if variance is not None:
+    sig = np.asarray(variance, np.float64)[..., 0]
+    err_n = np.linalg.norm(e, axis=-1)
+    topk_errs, rhos = [], []
+    for t in range(e.shape[0]):
+      s_t, e_t, m = sig[t].ravel(), err_n[t].ravel(), v[t].ravel()
+      if m.sum() <= 100:
+        continue
+      k = min(top_k or m.sum(), int(m.sum()))
+      # mirror select_confident: lowest-σ VALID cells
+      order = np.argsort(np.where(m, s_t, np.inf), kind="stable")[:k]
+      topk_errs.append(float(np.median(e_t[order])))
+      sv, ev = s_t[m], e_t[m]
+      if sv.std() > 0 and ev.std() > 0:
+        rhos.append(float(np.corrcoef(_rank(sv), _rank(ev))[0, 1]))
+    out["median_topk_coord_err_m"] = (float(np.median(topk_errs))
+                                      if topk_errs else None)
+    out["sigma_err_rank_corr"] = float(np.mean(rhos)) if rhos else None
+  return out
 
 
 def main(argv=None):
@@ -125,7 +202,8 @@ def main(argv=None):
            "median_rotation_deg": float(np.median(r)),
            "mean_num_inliers": float(np.mean(np.asarray(out["num_inliers"]))),
            "mean_inlier_ratio": float(np.mean(np.asarray(out["inlier_ratio"]))),
-           **residual_stats(xs, gt_coords, gt_valid)}
+           **residual_stats(xs, gt_coords, gt_valid, variance=Ps,
+                            top_k=rcfg.top_k)}
     print(json.dumps(rep), flush=True)
     return rep
 

@@ -43,6 +43,56 @@ def test_rigid_shift_is_all_bias():
   assert s["spatial_autocorr_lag1"] is None
 
 
+def test_rotation_deformation_seen_by_rigid_move_not_bias():
+  """A small rotation about the field centroid has ~zero mean residual
+  (invisible to frame_bias) but IS a pose-shaped error: rigid_move must
+  capture it and the non-rigid remainder must be ~0 — the exact shape
+  that made the round-4 bias statistic come back 'refuted'."""
+  gt, valid, rng = _field()
+  out = np.empty_like(gt)
+  th = 0.05
+  R = np.array([[np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1.0]])
+  for t in range(gt.shape[0]):
+    c = gt[t].reshape(-1, 3).mean(axis=0)
+    out[t] = ((gt[t].reshape(-1, 3) - c) @ R.T + c).reshape(gt[t].shape)
+  s = residual_stats(out, gt, valid)
+  assert s["median_frame_bias_m"] < 0.05 * s["median_coord_err_m"]
+  # rigid_move is a median of per-frame medians; coord_err a global
+  # median — same rotation displacement, slightly different aggregation
+  np.testing.assert_allclose(s["median_rigid_move_m"],
+                             s["median_coord_err_m"], rtol=0.05)
+  assert s["median_resid_after_rigid_m"] < 1e-9
+
+
+def test_iid_scatter_is_nonrigid():
+  gt, valid, rng = _field()
+  s = residual_stats(gt + rng.normal(scale=0.1, size=gt.shape), gt, valid)
+  # the rigid fit cannot explain iid scatter: remainder ~= raw error
+  assert s["median_resid_after_rigid_m"] > 0.8 * s["median_coord_err_m"]
+  assert s["median_rigid_move_m"] < 0.3 * s["median_coord_err_m"]
+
+
+def test_sigma_ranking_stats():
+  """Informative σ → the top-k pool is cleaner than the field and the
+  rank correlation is strongly positive; anti-informative σ (confident
+  exactly where wrong) → the pool is WORSE than the field median."""
+  gt, valid, rng = _field()
+  err = rng.uniform(0.01, 1.0, size=gt.shape[:3])
+  direction = rng.normal(size=gt.shape)
+  direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+  pred = gt + err[..., None] * direction
+  good_sigma = err[..., None] ** 2
+  s = residual_stats(pred, gt, valid, variance=good_sigma, top_k=30)
+  assert s["sigma_err_rank_corr"] > 0.9
+  assert s["median_topk_coord_err_m"] < 0.5 * s["median_coord_err_m"]
+  bad_sigma = (err.max() - err)[..., None] ** 2
+  s2 = residual_stats(pred, gt, valid, variance=bad_sigma, top_k=30)
+  assert s2["sigma_err_rank_corr"] < -0.9
+  assert s2["median_topk_coord_err_m"] > 1.5 * s2["median_coord_err_m"]
+
+
 def test_low_valid_frames_excluded():
   gt, valid, rng = _field()
   valid[1:] = False  # frames 1.. have 0 <= 100 valid px
