@@ -42,6 +42,14 @@ def main(argv=None):
                       help="memory-bounded chunked eval (O(chunk) HBM) "
                            "for arbitrarily long sequences")
   parser.add_argument("--chunk_size", type=int, default=32)
+  parser.add_argument("--uint8_stream", action="store_true",
+                      help="with --streaming: feed the device uint8 "
+                           "frames (cast+scaled on device, "
+                           "models/scoordnet.ingest) — 4x less "
+                           "host->device wire per chunk. Lossless for "
+                           "8-bit sources: the loaders' f32 values are "
+                           "exactly n/255, so the re-quantization "
+                           "round-trips bit-identically")
   parser.add_argument("--chi2_threshold", type=float, default=None,
                       help="override the consistency-test threshold "
                            "(chi-square 3 dof; default p=0.05 -> 7.81)")
@@ -163,6 +171,10 @@ def main(argv=None):
     # committing it with jnp.asarray would materialize the full (T,H,W,3)
     # sequence in HBM up front.
     host_stack = np.stack([f["image"] for f in frames])
+    if args.streaming and args.uint8_stream:
+      # exact inverse of the loaders' /255 (see --uint8_stream help)
+      host_stack = np.clip(np.round(host_stack * 255.0), 0,
+                           255).astype(np.uint8)
     images = host_stack if args.streaming else jnp.asarray(host_stack)
     gt = np.stack([f["pose"] for f in frames])
     import contextlib

@@ -1,0 +1,90 @@
+"""Render GN-vs-alt diagnose pairs as one mechanism table.
+
+Each ``tools/diagnose.py`` artifact carries one (scene, trunk) cell with
+field statistics (median/mean coord error, lag-1 autocorrelation,
+per-frame global bias) plus the round-5 mechanism stats: the rigid
+(Kabsch) decomposition — ``median_rigid_move_m`` (pose-shaped component
+of field error) / ``median_resid_after_rigid_m`` (non-rigid remainder) —
+and σ-ranking quality (``median_topk_coord_err_m`` over the PnP
+preselection pool, ``sigma_err_rank_corr``). This tool pairs the GN and
+alt artifacts per scene and prints the side-by-side rows the
+transfer-inversion doc section cites (DESIGN.md §8), so the doc numbers
+are mechanically regenerable:
+
+    python -m kfnet_tpu.tools.diagnose_summary \
+        --pairs outdoor_s1:docs/DIAGNOSE_outdoor_s1.json:docs/DIAGNOSE_outdoor_nonorm_s1.json \
+        --mode measurement_only [--markdown]
+
+Pure json — safe to run while a TPU job owns the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+STATS = (
+    ("medT", "median_translation_m", 3),
+    ("coordE", "median_coord_err_m", 3),
+    ("topkE", "median_topk_coord_err_m", 3),
+    ("rigid", "median_rigid_move_m", 3),
+    ("nonrig", "median_resid_after_rigid_m", 3),
+    ("bias", "median_frame_bias_m", 3),
+    ("σρ", "sigma_err_rank_corr", 2),
+    ("inl", "mean_inlier_ratio", 3),
+    ("autoc", "spatial_autocorr_lag1", 2),
+)
+
+
+def _mode(art: dict, mode: str) -> dict:
+  for m in art["modes"]:
+    if m["mode"] == mode or m["mode"].startswith(mode):
+      return m
+  raise KeyError(f"mode {mode!r} not in {[m['mode'] for m in art['modes']]}")
+
+
+def rows_for(label, gn_path, alt_path, mode):
+  with open(gn_path) as f:
+    gn = _mode(json.load(f), mode)
+  with open(alt_path) as f:
+    alt = _mode(json.load(f), mode)
+  out = []
+  for trunk, m in (("group", gn), ("none", alt)):
+    out.append([f"{label}/{trunk}"] +
+               [(f"{m.get(key):.{nd}f}" if m.get(key) is not None else "—")
+                for _, key, nd in STATS])
+  return out
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument("--pairs", nargs="+", required=True,
+                 help="label:gn.json:alt.json triples")
+  p.add_argument("--mode", default="measurement_only",
+                 help="mode row to compare (prefix match, e.g. "
+                      "'filtered_serving')")
+  p.add_argument("--markdown", action="store_true")
+  args = p.parse_args(argv)
+
+  header = ["cell"] + [name for name, _, _ in STATS]
+  table = []
+  for spec in args.pairs:
+    label, gn_path, alt_path = spec.split(":")
+    table += rows_for(label, gn_path, alt_path, args.mode)
+
+  if args.markdown:
+    print("| " + " | ".join(header) + " |")
+    print("|" + "---|" * len(header))
+    for r in table:
+      print("| " + " | ".join(r) + " |")
+  else:
+    widths = [max(len(h), *(len(r[i]) for r in table))
+              for i, h in enumerate(header)]
+    print("  ".join(h.ljust(w) for h, w in zip(header, widths)))
+    for r in table:
+      print("  ".join(c.ljust(w) for c, w in zip(r, widths)))
+  return table
+
+
+if __name__ == "__main__":
+  main()

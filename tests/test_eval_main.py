@@ -72,6 +72,31 @@ def test_eval_main_cli_streaming(tmp_path, monkeypatch):
                              rep_b["median_coord_err_m"], atol=1e-4)
 
 
+def test_eval_main_cli_streaming_uint8(tmp_path, monkeypatch):
+  """--uint8_stream: host frames cross to the device as uint8 (cast on
+  device); for 8-bit sources the re-quantization is lossless, so results
+  match the batch f32 eval to compile-order tolerance."""
+  from kfnet_tpu.eval import main as eval_main
+  from kfnet_tpu.models import kfnet
+  from tests import tiny_configs as tc
+
+  root = make_fake_7scenes(str(tmp_path / "data"), n=6)
+
+  def tiny_load(exp, image_shape, sc, of, seed=0):
+    cfg = tc.tiny_kfnet()
+    import jax
+    return cfg, kfnet.init(jax.random.key(0), cfg, image_shape)
+
+  monkeypatch.setattr(eval_main, "load_pretrained", tiny_load)
+  common = ["--input_folder", root, "--scene", "chess"]
+  rep_u = eval_main.main(common + ["--streaming", "--chunk_size", "2",
+                                   "--uint8_stream"])[0]
+  rep_b = eval_main.main(common)[0]
+  assert rep_u["frames"] == 6
+  np.testing.assert_allclose(rep_u["median_coord_err_m"],
+                             rep_b["median_coord_err_m"], atol=1e-4)
+
+
 def test_eval_main_cli_chi2_override(tmp_path, monkeypatch):
   from kfnet_tpu.eval import main as eval_main
   from kfnet_tpu.models import kfnet
