@@ -342,6 +342,53 @@ def test_online_relocalizer_single_stream_tick():
   assert dt < 0.08, dt
 
 
+def test_host_origin_uint8_tick():
+  """Camera-origin serving: uint8 frames arrive from HOST numpy every
+  tick. Checks (a) filter-state parity with the equivalent f32 stream
+  (the on-device cast is the only difference), and (b) the 4x-smaller
+  upload actually pays on this tunnel-bound link — the uint8 host tick
+  must not be slower than the f32 host tick."""
+  from kfnet_tpu.eval.online import OnlineRelocalizer
+  from kfnet_tpu.models import kfnet
+
+  cfg = kfnet.KFNetConfig(use_pallas=True)
+  params = kfnet.init(jax.random.key(0), cfg, (480, 640, 3))
+  K = jnp.asarray([[585., 0, 319.5], [0, 585., 239.5], [0, 0, 1]],
+                  jnp.float32)
+  rng = np.random.default_rng(1)
+  u8 = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
+  f32 = u8.astype(np.float32) * np.float32(1.0 / 255.0)
+
+  ru = OnlineRelocalizer(params, cfg, K)
+  rf = OnlineRelocalizer(params, cfg, K)
+  for t in range(2):
+    ru.process(u8[t])     # host numpy uint8 — uploads 0.9 MB
+    rf.process(f32[t])    # host numpy f32  — uploads 3.7 MB
+  su = jax.tree_util.tree_map(jnp.copy, ru.state)
+  sf = jax.tree_util.tree_map(jnp.copy, rf.state)
+  np.testing.assert_allclose(np.asarray(su[0]), np.asarray(sf[0]),
+                             atol=3e-5)
+  np.testing.assert_allclose(np.asarray(su[1]), np.asarray(sf[1]),
+                             rtol=3e-5, atol=1e-6)
+
+  def tick_ms(reloc, frame, reps=5):
+    reloc.process(frame)  # settle the steady path
+    times = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      for _ in range(reps):
+        reloc.process(frame)
+      times.append((time.perf_counter() - t0) / reps)
+    return 1e3 * float(np.median(times))
+
+  ms_u8 = tick_ms(ru, u8[1])
+  ms_f32 = tick_ms(rf, f32[1])
+  print(f"host-origin tick: uint8 {ms_u8:.1f} ms vs f32 {ms_f32:.1f} ms")
+  # the uint8 upload is 2.8 MB smaller; on the ~90 MB/s tunnel that is
+  # ~30 ms — allow generous slack but never regression
+  assert ms_u8 <= ms_f32 * 1.05, (ms_u8, ms_f32)
+
+
 def test_streaming_with_pose_e2e_floor():
   """Chunked streaming + per-chunk PnP (eval_sequence_streaming's shape)
   on device-resident frames: the number a long-video user sees. Floor is
