@@ -170,6 +170,21 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
   results["filtered_fps_batch4"] = B * frames / tb
 
   if tick:
+    # Shared tick-timing protocol (warm compiles, then median of k
+    # batches of reps): ONE implementation so every *_tick_ms row in the
+    # JSON line is comparable by construction — the timing policy is
+    # part of the numbers' contract (DESIGN.md §6).
+    def tick_ms(reloc, frame, warm=2, k=3, reps=5):
+      for _ in range(warm):
+        reloc.process(frame)  # first/steady-tick compiles + settle
+      times = []
+      for _ in range(k):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+          reloc.process(frame)  # syncs internally (packed download)
+        times.append((time.perf_counter() - t0) / reps)
+      return 1e3 * float(np.median(times))
+
     # Online serving latency: one FleetRelocalizer tick (filter step +
     # per-slot PnP, fused into ONE dispatch + ONE packed download —
     # DESIGN.md §5) on device-resident frames. This is the number an
@@ -178,15 +193,7 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
     from kfnet_tpu.eval.online import FleetRelocalizer
     fleet = FleetRelocalizer(params, cfg, K, batch_size=B)
     tick_imgs = jnp.broadcast_to(img, (B,) + img.shape)
-    fleet.process(tick_imgs)   # first-tick compile
-    fleet.process(tick_imgs)   # steady-tick compile
-    times = []
-    for _ in range(3):
-      t0 = time.perf_counter()
-      for _ in range(5):
-        fleet.process(tick_imgs)  # syncs internally (packed download)
-      times.append((time.perf_counter() - t0) / 5)
-    results["fleet_tick_ms_b4"] = 1e3 * float(np.median(times))
+    results["fleet_tick_ms_b4"] = tick_ms(fleet, tick_imgs)
 
     # Pipelined fleet tick (pipeline_depth=1): the t-1 result's download
     # overlaps tick t's device compute, so the steady-state rate is
@@ -196,17 +203,9 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
     try:
       pfleet = FleetRelocalizer(params, cfg, K, batch_size=B,
                                 pipeline_depth=1)
-      pfleet.process(tick_imgs)   # first-tick compile (pending)
-      pfleet.process(tick_imgs)   # steady-tick compile
-      pfleet.process(tick_imgs)
-      times = []
-      for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(5):
-          pfleet.process(tick_imgs)
-        times.append((time.perf_counter() - t0) / 5)
+      results["fleet_pipelined_tick_ms_b4"] = tick_ms(pfleet, tick_imgs,
+                                                      warm=3)
       pfleet.flush()
-      results["fleet_pipelined_tick_ms_b4"] = 1e3 * float(np.median(times))
     except Exception as e:  # pragma: no cover - hardware-path insurance
       results["fleet_pipelined_tick_ms_b4"] = None
       results["fleet_pipelined_error"] = repr(e)
@@ -218,15 +217,7 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
     from kfnet_tpu.eval.online import OnlineRelocalizer
     try:
       reloc = OnlineRelocalizer(params, cfg, K)
-      reloc.process(img)   # first-tick compile
-      reloc.process(img)   # steady-tick compile
-      times = []
-      for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(5):
-          reloc.process(img)
-        times.append((time.perf_counter() - t0) / 5)
-      results["online_tick_ms"] = 1e3 * float(np.median(times))
+      results["online_tick_ms"] = tick_ms(reloc, img)
     except Exception as e:  # pragma: no cover - hardware-path insurance
       results["online_tick_ms"] = None
       results["online_tick_error"] = repr(e)
@@ -236,17 +227,6 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
     # upload rides the tick. uint8 camera frames transfer 1 byte/channel
     # and cast on device (models/scoordnet.ingest) — 4x less wire than
     # f32 on the transfer-bound serving link.
-    def tick_ms(reloc, frame, warm=2, k=3, reps=5):
-      for _ in range(warm):
-        reloc.process(frame)
-      times = []
-      for _ in range(k):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-          reloc.process(frame)
-        times.append((time.perf_counter() - t0) / reps)
-      return 1e3 * float(np.median(times))
-
     img_np = np.asarray(img)
     img_u8 = (img_np * 255).astype(np.uint8)
     try:
@@ -255,6 +235,7 @@ def run(height: int = 480, width: int = 640, frames: int = 32,
       # same relocalizer: the dtype switch retraces once, state carries on
       results["online_host_uint8_tick_ms"] = tick_ms(reloc_h, img_u8)
     except Exception as e:  # pragma: no cover - hardware-path insurance
+      results.setdefault("online_host_tick_ms", None)
       results["online_host_uint8_tick_ms"] = None
       results["online_host_error"] = repr(e)
     try:

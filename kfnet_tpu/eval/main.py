@@ -85,6 +85,10 @@ def main(argv=None):
                       help="capture a jax.profiler trace of the first "
                            "sequence into this dir")
   args = parser.parse_args(argv)
+  if args.uint8_stream and not args.streaming:
+    parser.error("--uint8_stream requires --streaming (the batch eval "
+                 "commits f32 frames up front; a silently ignored flag "
+                 "would mislabel the measurement)")
   exp = config_lib.from_args(args)
 
   import dataclasses

@@ -142,12 +142,24 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
   def emit(xs, Ps, auxs):
     return (xs, Ps, auxs) if return_aux else (xs, Ps)
 
+  # An exception in chunk k's stack/upload/dispatch (bad frame shape,
+  # device OOM) must not destroy chunk k−1's already-computed results:
+  # yield them to the consumer first, THEN propagate — a generator may
+  # yield from an except block; the raise resumes on the consumer's
+  # next next() call, so a per-chunk logger (e.g. tools/soak.py) keeps
+  # the last completed chunk of a multi-hour stream in its record.
   pending = None  # previously dispatched chunk's (not yet yielded) outputs
   for frame in frame_source:
     buf.append(frame)
     # first chunk holds one extra frame (frame 0 = measurement-only)
     if len(buf) == (chunk_size + 1 if first else chunk_size):
-      xs, Ps, carry, auxs = flush(buf, carry, first)  # upload+dispatch k
+      try:
+        xs, Ps, carry, auxs = flush(buf, carry, first)  # upload+dispatch k
+      except BaseException:
+        if pending is not None:
+          out, pending = pending, None
+          yield out  # preserve chunk k-1 for the consumer's record
+        raise
       first = False
       buf = []
       if pending is not None:
@@ -156,16 +168,22 @@ def run_filter_chunked_arrays(params, config: kfnet.KFNetConfig,
   if buf:
     # ragged tail: pad to chunk shape, then drop padded outputs.
     n = len(buf)
-    if first:
-      # whole sequence shorter than one chunk: single ragged compile
-      xs, Ps, _, auxs = flush(buf, None, True)
-      tail = emit(xs, Ps, auxs)
-    else:
-      pad = [buf[-1]] * (chunk_size - n)
-      xs, Ps, _, auxs = flush(buf + pad, carry, False)
-      tail = emit(xs[:n], Ps[:n],
-                  None if auxs is None
-                  else jax.tree_util.tree_map(lambda a: a[:n], auxs))
+    try:
+      if first:
+        # whole sequence shorter than one chunk: single ragged compile
+        xs, Ps, _, auxs = flush(buf, None, True)
+        tail = emit(xs, Ps, auxs)
+      else:
+        pad = [buf[-1]] * (chunk_size - n)
+        xs, Ps, _, auxs = flush(buf + pad, carry, False)
+        tail = emit(xs[:n], Ps[:n],
+                    None if auxs is None
+                    else jax.tree_util.tree_map(lambda a: a[:n], auxs))
+    except BaseException:
+      if pending is not None:
+        out, pending = pending, None
+        yield out
+      raise
     if pending is not None:
       yield pending
     pending = tail

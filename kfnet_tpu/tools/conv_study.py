@@ -37,7 +37,7 @@ def cell_config(norm: str, conv_impl: str, use_pallas: bool):
 
 def main(argv=None):
   p = argparse.ArgumentParser()
-  p.add_argument("--norms", default="none,group")
+  p.add_argument("--norms", default="none,group,ws")
   p.add_argument("--impls", default="xla,pallas_3x3")
   p.add_argument("--frames", type=int, default=32)
   p.add_argument("--height", type=int, default=480)

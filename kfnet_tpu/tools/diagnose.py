@@ -47,9 +47,22 @@ def _kabsch(p, g):
 
 
 def _rank(a):
-  """Ranks (average-free, ordinal) for a Spearman-style correlation."""
+  """Average ranks (ties share their mean rank — scipy.rankdata
+  semantics) for a true Spearman correlation. Ordinal ranks would be
+  wrong exactly where this statistic matters: a transfer scene's
+  variance map saturates the head's log-variance clip in blocks, and
+  raster-ordering those ties against a spatially-autocorrelated error
+  field manufactures spurious correlation."""
+  order = np.argsort(a, kind="stable")
   r = np.empty(a.size, np.float64)
-  r[np.argsort(a, kind="stable")] = np.arange(a.size, dtype=np.float64)
+  r[order] = np.arange(a.size, dtype=np.float64)
+  s = a[order]
+  # average the rank over each run of equal values
+  boundaries = np.flatnonzero(np.r_[True, s[1:] != s[:-1], True])
+  for i in range(boundaries.size - 1):
+    lo, hi = boundaries[i], boundaries[i + 1]
+    if hi - lo > 1:
+      r[order[lo:hi]] = 0.5 * (lo + hi - 1)
   return r
 
 

@@ -43,13 +43,13 @@ def _mode(art: dict, mode: str) -> dict:
   raise KeyError(f"mode {mode!r} not in {[m['mode'] for m in art['modes']]}")
 
 
-def rows_for(label, gn_path, alt_path, mode):
+def rows_for(label, gn_path, alt_path, mode, alt_label="none"):
   with open(gn_path) as f:
     gn = _mode(json.load(f), mode)
   with open(alt_path) as f:
     alt = _mode(json.load(f), mode)
   out = []
-  for trunk, m in (("group", gn), ("none", alt)):
+  for trunk, m in (("group", gn), (alt_label, alt)):
     out.append([f"{label}/{trunk}"] +
                [(f"{m.get(key):.{nd}f}" if m.get(key) is not None else "—")
                 for _, key, nd in STATS])
@@ -64,13 +64,18 @@ def main(argv=None):
                  help="mode row to compare (prefix match, e.g. "
                       "'filtered_serving')")
   p.add_argument("--markdown", action="store_true")
+  p.add_argument("--alt_label", default="none",
+                 help="trunk name of the second artifact in each pair "
+                      "('none', 'ws', ...) — labels the table rows; the "
+                      "diagnose artifacts do not record their trunk")
   args = p.parse_args(argv)
 
   header = ["cell"] + [name for name, _, _ in STATS]
   table = []
   for spec in args.pairs:
     label, gn_path, alt_path = spec.split(":")
-    table += rows_for(label, gn_path, alt_path, args.mode)
+    table += rows_for(label, gn_path, alt_path, args.mode,
+                      alt_label=args.alt_label)
 
   if args.markdown:
     print("| " + " | ".join(header) + " |")

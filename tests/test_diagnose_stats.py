@@ -93,6 +93,24 @@ def test_sigma_ranking_stats():
   assert s2["median_topk_coord_err_m"] > 1.5 * s2["median_coord_err_m"]
 
 
+def test_sigma_rank_corr_ties_unbiased():
+  """Tied σ blocks (the clipped-log-variance regime) must not
+  manufacture correlation: with near-constant σ over a raster-ordered
+  error gradient, ordinal ranks would read ρ≈1 (raster order IS the
+  error order); average ranks for ties must read ρ≈0."""
+  T, H, W = 2, 10, 12
+  gt = np.zeros((T, H, W, 3))
+  err = np.linspace(0.01, 1.0, H * W).reshape(1, H, W).repeat(T, axis=0)
+  pred = gt + err[..., None] * np.array([1.0, 0.0, 0.0])
+  sigma = np.ones((T, H, W, 1))
+  # one non-tie so σ isn't constant (std > 0), at the MIDDLE of the
+  # error gradient so its own (genuine) correlation contribution is ~0
+  sigma[:, H // 2, W // 2, 0] = 2.0
+  valid = np.ones((T, H, W), bool)
+  s = residual_stats(pred, gt, valid, variance=sigma, top_k=30)
+  assert abs(s["sigma_err_rank_corr"]) < 0.1, s["sigma_err_rank_corr"]
+
+
 def test_low_valid_frames_excluded():
   gt, valid, rng = _field()
   valid[1:] = False  # frames 1.. have 0 <= 100 valid px

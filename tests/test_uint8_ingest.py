@@ -63,6 +63,28 @@ def test_chunked_stream_uint8_and_pipelining():
   np.testing.assert_allclose(Ps, np.asarray(Ps_ref), rtol=1e-5, atol=2e-5)
 
 
+def test_chunked_stream_yields_completed_chunks_before_failure():
+  """The one-chunk-lookahead pipeline must not lose an already-computed
+  chunk when a LATER chunk's stack/upload fails mid-stream: the pending
+  chunk is yielded to the consumer before the exception propagates (a
+  per-chunk logger keeps its record of the last good chunk)."""
+  import pytest
+
+  cfg = tc.tiny_kfnet()
+  params = kfnet.init(jax.random.key(4), cfg, tc.IMG)
+  u8, _ = _streams(T=13, seed=5)
+  frames = list(u8[:12]) + [u8[12, :10]]  # 13th frame: wrong shape
+
+  outs = []
+  with pytest.raises(Exception):
+    for o in sequence.run_filter_chunked_arrays(
+        params, cfg, frames, chunk_size=4):
+      outs.append(o)
+  # chunks 0 (5 frames) and 1 (4 frames) completed before chunk 2's
+  # flush hit the bad frame — both must have been delivered
+  assert [o[0].shape[0] for o in outs] == [5, 4]
+
+
 def test_online_and_fleet_accept_uint8():
   cfg = tc.tiny_kfnet()
   params = kfnet.init(jax.random.key(2), cfg, tc.IMG)
