@@ -66,7 +66,8 @@ def _rank(a):
   return r
 
 
-def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
+def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
+                   cam_centers=None):
   """Per-sequence coordinate residual: median norm, lag-1 spatial
   autocorrelation of the residual field (mean over frames/channels), and
   the per-frame GLOBAL bias ‖mean residual vector‖. The bias statistic
@@ -95,6 +96,26 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
     * median_topk_coord_err_m — field error restricted to that pool.
     * sigma_err_rank_corr — mean per-frame Spearman ρ(σ, ‖err‖); ~0
       means confidence is uninformative, <0 means anti-informative.
+
+  Camera-implied deformation (needs ``cam_centers``, the GT camera
+  positions per frame): rigid_move measures the deformation AT THE
+  POINTS, but PnP recovers the CAMERA, and the two are related by a
+  lever arm. The Kabsch fit gives A(p)=R·p+t mapping predicted→GT, so
+  the predicted field is the GT world seen through A⁻¹; the pose PnP
+  returns is then A⁻¹ of the true camera. A rotation by θ about the
+  visible structure's centroid moves points only ~r·θ (r = cloud
+  radius) but moves the implied camera ~d·θ (d = camera-to-centroid
+  distance) — outdoors d ≫ r and a point-small deformation is
+  pose-large. These statistics measure the deformation where the pose
+  lives:
+    * median_rigid_rot_deg — rotation angle of the per-frame Kabsch R
+      (conjugation by A⁻¹ preserves the angle, so this IS the implied
+      camera-orientation error).
+    * median_implied_cam_move_m — ‖A⁻¹(c) − c‖ = ‖Rᵀ(c − t) − c‖: the
+      camera-position error the fitted deformation alone predicts. If
+      this tracks the measured pose error while rigid_move does not,
+      the harm is a pose-shaped field deformation amplified by the
+      camera's lever arm, not solver noise.
   """
   e = np.asarray(coords, np.float64) - np.asarray(gt_coords, np.float64)
   v = np.asarray(valid, bool)
@@ -114,6 +135,7 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
   p_all = np.asarray(coords, np.float64)
   g_all = np.asarray(gt_coords, np.float64)
   rigid_move, resid_after = [], []
+  rigid_rot, implied_cam = [], []
   for t in range(e.shape[0]):
     m = v[t]
     if m.sum() <= 100:
@@ -123,6 +145,11 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
     p_fit = p @ R.T + tt
     rigid_move.append(float(np.median(np.linalg.norm(p_fit - p, axis=-1))))
     resid_after.append(float(np.median(np.linalg.norm(p_fit - g, axis=-1))))
+    if cam_centers is not None:
+      cos = np.clip(0.5 * (np.trace(R) - 1.0), -1.0, 1.0)
+      rigid_rot.append(float(np.degrees(np.arccos(cos))))
+      c = np.asarray(cam_centers[t], np.float64)
+      implied_cam.append(float(np.linalg.norm(R.T @ (c - tt) - c)))
   out = {
       "median_coord_err_m": float(np.median(norms)) if norms.size else None,
       "mean_coord_err_m": float(norms.mean()) if norms.size else None,
@@ -134,6 +161,11 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None):
       "median_resid_after_rigid_m": (float(np.median(resid_after))
                                      if resid_after else None),
   }
+  if cam_centers is not None:
+    out["median_rigid_rot_deg"] = (float(np.median(rigid_rot))
+                                   if rigid_rot else None)
+    out["median_implied_cam_move_m"] = (float(np.median(implied_cam))
+                                        if implied_cam else None)
   if variance is not None:
     sig = np.asarray(variance, np.float64)[..., 0]
     err_n = np.linalg.norm(e, axis=-1)
@@ -216,7 +248,8 @@ def main(argv=None):
            "mean_num_inliers": float(np.mean(np.asarray(out["num_inliers"]))),
            "mean_inlier_ratio": float(np.mean(np.asarray(out["inlier_ratio"]))),
            **residual_stats(xs, gt_coords, gt_valid, variance=Ps,
-                            top_k=rcfg.top_k)}
+                            top_k=rcfg.top_k,
+                            cam_centers=gt_poses[:, :3, 3])}
     print(json.dumps(rep), flush=True)
     return rep
 

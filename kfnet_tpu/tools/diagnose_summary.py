@@ -28,6 +28,8 @@ STATS = (
     ("coordE", "median_coord_err_m", 3),
     ("topkE", "median_topk_coord_err_m", 3),
     ("rigid", "median_rigid_move_m", 3),
+    ("rotK", "median_rigid_rot_deg", 2),
+    ("camE", "median_implied_cam_move_m", 3),
     ("nonrig", "median_resid_after_rigid_m", 3),
     ("bias", "median_frame_bias_m", 3),
     ("σρ", "sigma_err_rank_corr", 2),

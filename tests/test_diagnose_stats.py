@@ -66,6 +66,47 @@ def test_rotation_deformation_seen_by_rigid_move_not_bias():
   assert s["median_resid_after_rigid_m"] < 1e-9
 
 
+def test_rotation_lever_arm_amplifies_implied_camera_move():
+  """Rotation by θ about the field centroid with the camera at distance
+  d: points move ~r·θ (cloud radius r ≈ 1 here) but the implied camera
+  moves 2·sin(θ/2)·d — the outdoor-transfer signature where a
+  point-small deformation is pose-large."""
+  gt, valid, rng = _field()
+  th = 0.05
+  R = np.array([[np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1.0]])
+  out = np.empty_like(gt)
+  cams = np.empty((gt.shape[0], 3))
+  d = 40.0
+  for t in range(gt.shape[0]):
+    c = gt[t].reshape(-1, 3).mean(axis=0)
+    out[t] = ((gt[t].reshape(-1, 3) - c) @ R.T + c).reshape(gt[t].shape)
+    cams[t] = c + np.array([d, 0.0, 0.0])  # in the rotation plane
+  s = residual_stats(out, gt, valid, cam_centers=cams)
+  want_cam = 2.0 * np.sin(th / 2.0) * d
+  np.testing.assert_allclose(s["median_rigid_rot_deg"], np.degrees(th),
+                             rtol=1e-6)
+  np.testing.assert_allclose(s["median_implied_cam_move_m"], want_cam,
+                             rtol=1e-6)
+  # the lever arm: camera error is many times the point-level error
+  assert s["median_implied_cam_move_m"] > 10 * s["median_rigid_move_m"]
+
+
+def test_pure_shift_implied_camera_move_equals_shift():
+  """A pure translation has no lever arm: the implied camera moves by
+  exactly the shift, with zero rigid rotation."""
+  rng = np.random.default_rng(1)
+  gt = rng.integers(-8, 8, size=(4, 10, 12, 3)).astype(np.float64)
+  valid = np.ones(gt.shape[:3], bool)
+  shift = np.array([0.25, -0.5, 0.0])
+  cams = np.tile(np.array([100.0, -30.0, 7.0]), (4, 1))
+  s = residual_stats(gt + shift, gt, valid, cam_centers=cams)
+  np.testing.assert_allclose(s["median_implied_cam_move_m"],
+                             np.linalg.norm(shift), rtol=1e-9)
+  assert s["median_rigid_rot_deg"] < 1e-6
+
+
 def test_iid_scatter_is_nonrigid():
   gt, valid, rng = _field()
   s = residual_stats(gt + rng.normal(scale=0.1, size=gt.shape), gt, valid)
