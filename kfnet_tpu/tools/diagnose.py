@@ -187,6 +187,38 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
   return out
 
 
+def scene_geometry(gt_coords, valid, cam_centers):
+  """Lever-arm geometry of the scene itself — computable from GT labels
+  alone, BEFORE any training. Per frame: centroid of the visible GT
+  cloud, cloud radius r (median point-to-centroid distance) and camera-
+  to-centroid distance d. ``lever_arm_gain`` = median(d/r) is the factor
+  by which a rotation-shaped field deformation about the cloud centroid
+  is amplified into implied camera motion (points move ~r·θ, the camera
+  ~d·θ). Scenes with large gain are the ones where a point-small,
+  pose-large deformation can invert a point-level accuracy win — the
+  pre-training predictor the transfer-inversion study needed."""
+  g = np.asarray(gt_coords, np.float64)
+  v = np.asarray(valid, bool)
+  ds, rs, gains = [], [], []
+  for t in range(g.shape[0]):
+    m = v[t]
+    if m.sum() <= 100:
+      continue
+    pts = g[t][m]
+    cen = pts.mean(axis=0)
+    r = float(np.median(np.linalg.norm(pts - cen, axis=-1)))
+    d = float(np.linalg.norm(np.asarray(cam_centers[t], np.float64) - cen))
+    ds.append(d)
+    rs.append(r)
+    if r > 0:
+      gains.append(d / r)
+  return {
+      "median_cam_centroid_dist_m": float(np.median(ds)) if ds else None,
+      "median_cloud_radius_m": float(np.median(rs)) if rs else None,
+      "lever_arm_gain": float(np.median(gains)) if gains else None,
+  }
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--work_dir", required=True)
@@ -274,7 +306,10 @@ def main(argv=None):
     rows.append(mode_report(f"{tag}_chi{chi2:.2f}_w{w:g}", xs, Ps))
 
   out = {"scene": s.name, "stress": args.stress,
-         "test_frames": args.test_frames, "modes": rows}
+         "test_frames": args.test_frames,
+         "scene_geometry": scene_geometry(gt_coords, gt_valid,
+                                          gt_poses[:, :3, 3]),
+         "modes": rows}
   if args.report:
     with open(args.report, "w") as f:
       json.dump(out, f, indent=2)

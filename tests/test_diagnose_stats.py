@@ -158,3 +158,30 @@ def test_low_valid_frames_excluded():
   valid[0, :, :] = True
   s = residual_stats(gt + 0.1, gt, valid)
   assert s["median_frame_bias_m"] is not None  # frame 0 alone (120 px)
+
+
+def test_scene_geometry_lever_arm_gain():
+  """lever_arm_gain = median(d/r) from GT alone: a unit-radius-class
+  cloud viewed from distance d must report gain ≈ d / r exactly, and
+  moving the camera 10× further must scale the gain ~10×."""
+  from kfnet_tpu.tools.diagnose import scene_geometry
+  rng = np.random.default_rng(3)
+  T, H, W = 3, 10, 12
+  gt = rng.normal(size=(T, H, W, 3))
+  valid = np.ones((T, H, W), bool)
+  cen = gt.reshape(T, -1, 3).mean(axis=1)
+  r_true = np.median(np.linalg.norm(
+      gt.reshape(T, -1, 3) - cen[:, None], axis=-1), axis=1)
+  near = cen + np.array([5.0, 0.0, 0.0])
+  far = cen + np.array([50.0, 0.0, 0.0])
+  g_near = scene_geometry(gt, valid, near)
+  g_far = scene_geometry(gt, valid, far)
+  np.testing.assert_allclose(g_near["median_cloud_radius_m"],
+                             np.median(r_true), rtol=1e-12)
+  np.testing.assert_allclose(g_near["median_cam_centroid_dist_m"], 5.0,
+                             rtol=1e-12)
+  np.testing.assert_allclose(
+      g_near["lever_arm_gain"],
+      np.median(5.0 / r_true), rtol=1e-12)
+  np.testing.assert_allclose(g_far["lever_arm_gain"] /
+                             g_near["lever_arm_gain"], 10.0, rtol=1e-12)
