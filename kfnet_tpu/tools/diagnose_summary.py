@@ -47,15 +47,16 @@ def _mode(art: dict, mode: str) -> dict:
 
 def rows_for(label, gn_path, alt_path, mode, alt_label="none"):
   with open(gn_path) as f:
-    gn = _mode(json.load(f), mode)
+    gn_art = json.load(f)
   with open(alt_path) as f:
-    alt = _mode(json.load(f), mode)
+    alt_art = json.load(f)
+  gn, alt = _mode(gn_art, mode), _mode(alt_art, mode)
   out = []
   for trunk, m in (("group", gn), (alt_label, alt)):
     out.append([f"{label}/{trunk}"] +
                [(f"{m.get(key):.{nd}f}" if m.get(key) is not None else "—")
                 for _, key, nd in STATS])
-  return out
+  return out, gn_art.get("scene_geometry")
 
 
 def main(argv=None):
@@ -73,11 +74,17 @@ def main(argv=None):
   args = p.parse_args(argv)
 
   header = ["cell"] + [name for name, _, _ in STATS]
-  table = []
+  table, geoms = [], []
   for spec in args.pairs:
     label, gn_path, alt_path = spec.split(":")
-    table += rows_for(label, gn_path, alt_path, args.mode,
-                      alt_label=args.alt_label)
+    rows, geom = rows_for(label, gn_path, alt_path, args.mode,
+                          alt_label=args.alt_label)
+    table += rows
+    if geom:
+      geoms.append(
+          f"{label}: lever_arm_gain={geom['lever_arm_gain']:.1f} "
+          f"(cam-centroid d={geom['median_cam_centroid_dist_m']:.2f} m, "
+          f"cloud radius r={geom['median_cloud_radius_m']:.2f} m)")
 
   if args.markdown:
     print("| " + " | ".join(header) + " |")
@@ -90,6 +97,11 @@ def main(argv=None):
     print("  ".join(h.ljust(w) for h, w in zip(header, widths)))
     for r in table:
       print("  ".join(c.ljust(w) for c, w in zip(r, widths)))
+  for g in geoms:
+    # scene geometry is GT-only (trunk-independent); printed once per
+    # pair so the lever-arm amplification each cell is exposed to sits
+    # next to the per-trunk deformation stats it acts on
+    print(g)
   return table
 
 
