@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,24 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
     * median_topk_coord_err_m — field error restricted to that pool.
     * sigma_err_rank_corr — mean per-frame Spearman ρ(σ, ‖err‖); ~0
       means confidence is uninformative, <0 means anti-informative.
+
+  Pool-restricted deformation + geometry (needs ``variance`` AND
+  ``cam_centers``): the full-field Kabsch stats above can UNDERPREDICT
+  the pose error when the harm lives inside the σ-selected pool — the
+  round-5 outdoor s1 data showed exactly that shape (nonorm full-field
+  implied_cam 0.52 m vs 2.12 m actual; GN tracked within 35%). Two
+  sub-mechanisms, measured on the same top-k pool PnP consumes:
+    * pool_rigid_rot_deg / pool_implied_cam_move_m /
+      pool_resid_after_rigid_m — the Kabsch decomposition restricted to
+      the pool. If σ selects a COHERENTLY-deformed subset (e.g. one
+      facade whose depth is consistently mis-scaled), the pool's own
+      rigid fit is pose-large even when the full field's is small, and
+      pool_implied_cam_move predicts the pose error the solver returns.
+    * pool_cloud_radius_m / pool_lever_arm_gain — GT geometry of the
+      pool. If σ-selection spatially CONCENTRATES the pool (one nearby
+      structure), the pool's lever arm d/r_pool exceeds the scene's;
+      PnP conditioning degrades and point-small errors become
+      pose-large even without a coherent deformation.
 
   Camera-implied deformation (needs ``cam_centers``, the GT camera
   positions per frame): rigid_move measures the deformation AT THE
@@ -169,7 +188,11 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
   if variance is not None:
     sig = np.asarray(variance, np.float64)[..., 0]
     err_n = np.linalg.norm(e, axis=-1)
+    p_flat = p_all.reshape(p_all.shape[0], -1, 3)
+    g_flat = g_all.reshape(g_all.shape[0], -1, 3)
     topk_errs, rhos = [], []
+    pool_rot, pool_cam, pool_resid = [], [], []
+    pool_rad, pool_gain = [], []
     for t in range(e.shape[0]):
       s_t, e_t, m = sig[t].ravel(), err_n[t].ravel(), v[t].ravel()
       if m.sum() <= 100:
@@ -181,9 +204,37 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
       sv, ev = s_t[m], e_t[m]
       if sv.std() > 0 and ev.std() > 0:
         rhos.append(float(np.corrcoef(_rank(sv), _rank(ev))[0, 1]))
+      if cam_centers is not None:
+        # Kabsch + lever-arm geometry of the σ-selected pool itself —
+        # the subset PnP consumes, not the full field.
+        p, g = p_flat[t][order], g_flat[t][order]
+        R, tt = _kabsch(p, g)
+        cos = np.clip(0.5 * (np.trace(R) - 1.0), -1.0, 1.0)
+        pool_rot.append(float(np.degrees(np.arccos(cos))))
+        c = np.asarray(cam_centers[t], np.float64)
+        pool_cam.append(float(np.linalg.norm(R.T @ (c - tt) - c)))
+        p_fit = p @ R.T + tt
+        pool_resid.append(
+            float(np.median(np.linalg.norm(p_fit - g, axis=-1))))
+        cen = g.mean(axis=0)
+        r = float(np.median(np.linalg.norm(g - cen, axis=-1)))
+        pool_rad.append(r)
+        if r > 0:
+          pool_gain.append(float(np.linalg.norm(c - cen)) / r)
     out["median_topk_coord_err_m"] = (float(np.median(topk_errs))
                                       if topk_errs else None)
     out["sigma_err_rank_corr"] = float(np.mean(rhos)) if rhos else None
+    if cam_centers is not None:
+      out["pool_rigid_rot_deg"] = (float(np.median(pool_rot))
+                                   if pool_rot else None)
+      out["pool_implied_cam_move_m"] = (float(np.median(pool_cam))
+                                        if pool_cam else None)
+      out["pool_resid_after_rigid_m"] = (float(np.median(pool_resid))
+                                         if pool_resid else None)
+      out["pool_cloud_radius_m"] = (float(np.median(pool_rad))
+                                    if pool_rad else None)
+      out["pool_lever_arm_gain"] = (float(np.median(pool_gain))
+                                    if pool_gain else None)
   return out
 
 
@@ -219,6 +270,18 @@ def scene_geometry(gt_coords, valid, cam_centers):
   }
 
 
+def merge_modes(prev: dict, rows: list) -> list:
+  """Merge a ``--modes``-filtered run into an existing report.
+
+  Rows just run replace same-named rows of the previous artifact; every
+  other previous row is kept. Targeted stat upgrades (e.g. re-running
+  only ``measurement_only`` to add new pool statistics) must not
+  clobber the rest of the full sweep.
+  """
+  ran = {r["mode"] for r in rows}
+  return rows + [r for r in prev.get("modes", []) if r["mode"] not in ran]
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--work_dir", required=True)
@@ -231,6 +294,10 @@ def main(argv=None):
   p.add_argument("--width", type=int, default=128)
   p.add_argument("--stress", type=float, default=0.0)
   p.add_argument("--report", default="")
+  p.add_argument("--modes", default="",
+                 help="comma-separated substrings; only mode rows whose "
+                      "name contains one run (cheap targeted re-runs, "
+                      "e.g. --modes measurement_only)")
   p.add_argument("--scoordnet_norm", default=None,
                  help="norm of the cached stages ('none' for a "
                       "--scoordnet_norm-trained cache)")
@@ -285,8 +352,15 @@ def main(argv=None):
     print(json.dumps(rep), flush=True)
     return rep
 
-  zs, Vs = calibrate.measurement_maps(series)
-  rows = [mode_report("measurement_only", zs, Vs)]
+  wanted = [w for w in args.modes.split(",") if w]
+
+  def want(name):
+    return not wanted or any(w in name for w in wanted)
+
+  rows = []
+  if want("measurement_only"):
+    zs, Vs = calibrate.measurement_maps(series)
+    rows.append(mode_report("measurement_only", zs, Vs))
   # every filtered row's label EMBEDS its (chi2, w) so no row can drift
   # from its name (the pre-relabel artifacts' "filtered_default" ran
   # w=1 — the raw-dynamics harm regime under diagnosis — which stopped
@@ -301,9 +375,12 @@ def main(argv=None):
       ("filtered_serving", cfg.chi2_threshold, cfg.w_scale),
       ("filtered", 2.37, 8.0),
       ("filtered", 1.21, 64.0)):
+    name = f"{tag}_chi{chi2:.2f}_w{w:g}"
+    if not want(name):
+      continue
     xs, Ps = calibrate.filter_from_series(
         cfg1, series, jnp.float32(chi2), jnp.float32(w))
-    rows.append(mode_report(f"{tag}_chi{chi2:.2f}_w{w:g}", xs, Ps))
+    rows.append(mode_report(name, xs, Ps))
 
   out = {"scene": s.name, "stress": args.stress,
          "test_frames": args.test_frames,
@@ -311,6 +388,10 @@ def main(argv=None):
                                           gt_poses[:, :3, 3]),
          "modes": rows}
   if args.report:
+    if wanted and os.path.exists(args.report):
+      with open(args.report) as f:
+        prev = json.load(f)
+      out["modes"] = merge_modes(prev, rows)
     with open(args.report, "w") as f:
       json.dump(out, f, indent=2)
   return out

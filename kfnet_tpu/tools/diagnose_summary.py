@@ -6,7 +6,14 @@ per-frame global bias) plus the round-5 mechanism stats: the rigid
 (Kabsch) decomposition — ``median_rigid_move_m`` (pose-shaped component
 of field error) / ``median_resid_after_rigid_m`` (non-rigid remainder) —
 and σ-ranking quality (``median_topk_coord_err_m`` over the PnP
-preselection pool, ``sigma_err_rank_corr``). This tool pairs the GN and
+preselection pool, ``sigma_err_rank_corr``), plus the pool-restricted
+mechanism split: the Kabsch fit of the σ-selected pool itself
+(``pool_rigid_rot_deg`` / ``pool_implied_cam_move_m`` /
+``pool_resid_after_rigid_m`` — does σ select a coherently-deformed
+subset the full-field fit dilutes away?) and the pool's GT geometry
+(``pool_cloud_radius_m`` / ``pool_lever_arm_gain`` — does σ-selection
+spatially concentrate the pool and degrade PnP conditioning?). This
+tool pairs the GN and
 alt artifacts per scene and prints the side-by-side rows the
 transfer-inversion doc section cites (DESIGN.md §8), so the doc numbers
 are mechanically regenerable:
@@ -35,6 +42,11 @@ STATS = (
     ("σρ", "sigma_err_rank_corr", 2),
     ("inl", "mean_inlier_ratio", 3),
     ("autoc", "spatial_autocorr_lag1", 2),
+    ("pRotK", "pool_rigid_rot_deg", 2),
+    ("pCamE", "pool_implied_cam_move_m", 3),
+    ("pNonrig", "pool_resid_after_rigid_m", 3),
+    ("pRad", "pool_cloud_radius_m", 2),
+    ("pGain", "pool_lever_arm_gain", 1),
 )
 
 

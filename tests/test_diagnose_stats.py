@@ -152,6 +152,71 @@ def test_sigma_rank_corr_ties_unbiased():
   assert abs(s["sigma_err_rank_corr"]) < 0.1, s["sigma_err_rank_corr"]
 
 
+def test_pool_coherent_deformation_seen_only_by_pool_kabsch():
+  """The round-5 outdoor shape: σ selects a subset that is coherently
+  rotated while the rest of the field is clean. The FULL-field Kabsch
+  dilutes the deformation (most points vote identity) but the POOL fit
+  sees it whole — pool_implied_cam_move must recover the lever-arm
+  amplified camera error the full-field statistic underpredicts."""
+  rng = np.random.default_rng(7)
+  T, H, W, k = 3, 10, 12, 30
+  gt = rng.normal(size=(T, H, W, 3))
+  pred = gt.copy()
+  sigma = np.full((T, H, W, 1), 4.0)
+  th = 0.05
+  R = np.array([[np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1.0]])
+  cams = np.empty((T, 3))
+  d = 40.0
+  pool = np.zeros(H * W, bool)
+  pool[rng.choice(H * W, size=k, replace=False)] = True
+  for t in range(T):
+    flat = gt[t].reshape(-1, 3)
+    c = flat[pool].mean(axis=0)
+    deformed = (flat[pool] - c) @ R.T + c
+    pf = pred[t].reshape(-1, 3)
+    pf[pool] = deformed
+    sigma[t].reshape(-1)[pool] = 1.0  # σ prefers exactly the deformed set
+    cams[t] = c + np.array([d, 0.0, 0.0])
+  valid = np.ones((T, H, W), bool)
+  s = residual_stats(pred, gt, valid, variance=sigma, top_k=k,
+                     cam_centers=cams)
+  want_cam = 2.0 * np.sin(th / 2.0) * d
+  np.testing.assert_allclose(s["pool_rigid_rot_deg"], np.degrees(th),
+                             rtol=1e-6)
+  np.testing.assert_allclose(s["pool_implied_cam_move_m"], want_cam,
+                             rtol=1e-6)
+  assert s["pool_resid_after_rigid_m"] < 1e-9
+  # the full-field fit, diluted by 90 clean points, underpredicts
+  assert s["median_implied_cam_move_m"] < 0.5 * s["pool_implied_cam_move_m"]
+
+
+def test_pool_concentration_raises_pool_lever_arm():
+  """σ-selection that spatially CONCENTRATES the pool (one tight nearby
+  cluster) must report a pool lever-arm gain far above the scene's even
+  with zero prediction error — the conditioning sub-mechanism."""
+  from kfnet_tpu.tools.diagnose import scene_geometry
+  rng = np.random.default_rng(8)
+  T, H, W, k = 2, 10, 12, 30
+  gt = rng.normal(size=(T, H, W, 3))
+  sigma = np.full((T, H, W, 1), 4.0)
+  cluster = np.zeros(H * W, bool)
+  cluster[rng.choice(H * W, size=k, replace=False)] = True
+  for t in range(T):
+    flat = gt[t].reshape(-1, 3)
+    flat[cluster] = flat[cluster].mean(axis=0) + 0.05 * rng.normal(
+        size=(k, 3))
+    sigma[t].reshape(-1)[cluster] = 1.0
+  valid = np.ones((T, H, W), bool)
+  cams = gt.reshape(T, -1, 3).mean(axis=1) + np.array([10.0, 0.0, 0.0])
+  s = residual_stats(gt, gt, valid, variance=sigma, top_k=k,
+                     cam_centers=cams)
+  geo = scene_geometry(gt, valid, cams)
+  assert s["pool_cloud_radius_m"] < 0.3 * geo["median_cloud_radius_m"]
+  assert s["pool_lever_arm_gain"] > 3.0 * geo["lever_arm_gain"]
+
+
 def test_low_valid_frames_excluded():
   gt, valid, rng = _field()
   valid[1:] = False  # frames 1.. have 0 <= 100 valid px
@@ -185,3 +250,15 @@ def test_scene_geometry_lever_arm_gain():
       np.median(5.0 / r_true), rtol=1e-12)
   np.testing.assert_allclose(g_far["lever_arm_gain"] /
                              g_near["lever_arm_gain"], 10.0, rtol=1e-12)
+
+
+def test_merge_modes_replaces_only_rerun_rows():
+  from kfnet_tpu.tools.diagnose import merge_modes
+  prev = {"modes": [{"mode": "measurement_only", "old": True},
+                    {"mode": "filtered_serving_chi0.50_w16", "old": True}]}
+  rows = [{"mode": "measurement_only", "old": False}]
+  merged = merge_modes(prev, rows)
+  assert len(merged) == 2
+  by = {m["mode"]: m for m in merged}
+  assert by["measurement_only"]["old"] is False
+  assert by["filtered_serving_chi0.50_w16"]["old"] is True
