@@ -270,6 +270,60 @@ def scene_geometry(gt_coords, valid, cam_centers):
   }
 
 
+def counterfactual_maps(coords, gt_coords, valid, kind,
+                        variance=None, top_k=None):
+  """Causal-test measurement maps: edit the predicted field so exactly
+  one hypothesized harm component is removed (or isolated), then let the
+  UNCHANGED solver consume the edited map. The correlational statistics
+  above say which component is *large*; these say which component
+  *causes* the pose error:
+
+    * ``derigid`` — apply each frame's full-field Kabsch fit A to the
+      predictions (z' = A(z) = R·z + t). The best rigid (pose-shaped)
+      deformation is removed; the non-rigid scatter is untouched. If the
+      pose error collapses to the scatter-implied level, the deformation
+      IS the mechanism; if it persists, the solver's interaction with
+      the scatter is.
+    * ``derigid_pool`` — same, but A is fitted on the σ-selected top-k
+      pool (the subset PnP consumes). Distinguishes a coherently
+      deformed pool from a deformed field.
+    * ``rigidonly`` — the complement: z' = A⁻¹(gt) at valid cells — a
+      noise-free field carrying ONLY the fitted deformation (invalid
+      cells get the derigid value, so no garbage GT enters the pool).
+      Shows the deformation alone is sufficient for the observed error.
+
+  Frames with ≤100 valid cells pass through unchanged. Returns float32
+  maps shaped like ``coords``; run through the same solver as the real
+  modes.
+  """
+  p_all = np.asarray(coords, np.float64)
+  g_all = np.asarray(gt_coords, np.float64)
+  v = np.asarray(valid, bool)
+  out = p_all.copy()
+  for t in range(p_all.shape[0]):
+    m = v[t]
+    if m.sum() <= 100:
+      continue
+    if kind == "derigid_pool":
+      s_t = np.asarray(variance, np.float64)[t][..., 0].ravel()
+      mflat = m.ravel()
+      k = min(top_k or mflat.sum(), int(mflat.sum()))
+      order = np.argsort(np.where(mflat, s_t, np.inf), kind="stable")[:k]
+      p = p_all[t].reshape(-1, 3)[order]
+      g = g_all[t].reshape(-1, 3)[order]
+    else:
+      p, g = p_all[t][m], g_all[t][m]
+    R, tt = _kabsch(p, g)
+    derigid_t = p_all[t] @ R.T + tt
+    if kind == "rigidonly":
+      # A⁻¹(gt) = Rᵀ(gt − t): the GT world seen through the fitted
+      # deformation — what a noiseless net with this bias would emit.
+      out[t] = np.where(m[..., None], (g_all[t] - tt) @ R, derigid_t)
+    else:
+      out[t] = derigid_t
+  return out.astype(np.float32)
+
+
 def merge_modes(prev: dict, rows: list) -> list:
   """Merge a ``--modes``-filtered run into an existing report.
 
@@ -358,9 +412,18 @@ def main(argv=None):
     return not wanted or any(w in name for w in wanted)
 
   rows = []
-  if want("measurement_only"):
+  cf_kinds = [k for k in ("derigid", "derigid_pool", "rigidonly")
+              if want(f"cf_{k}")]
+  if want("measurement_only") or cf_kinds:
     zs, Vs = calibrate.measurement_maps(series)
-    rows.append(mode_report("measurement_only", zs, Vs))
+    if want("measurement_only"):
+      rows.append(mode_report("measurement_only", zs, Vs))
+    if cf_kinds:
+      zs_np, Vs_np = np.asarray(zs), np.asarray(Vs)
+      for kind in cf_kinds:
+        cz = counterfactual_maps(zs_np, gt_coords, gt_valid, kind,
+                                 variance=Vs_np, top_k=rcfg.top_k)
+        rows.append(mode_report(f"cf_{kind}", cz, Vs_np))
   # every filtered row's label EMBEDS its (chi2, w) so no row can drift
   # from its name (the pre-relabel artifacts' "filtered_default" ran
   # w=1 — the raw-dynamics harm regime under diagnosis — which stopped

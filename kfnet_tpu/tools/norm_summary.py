@@ -8,8 +8,11 @@ bootstrap CIs on the same fresh 480-frame trajectory and the same PnP
 keys. This tool renders the full set as one table so the doc rows are
 mechanically regenerable from the checked-in JSONs:
 
-    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY*.json
-    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY*.json --markdown
+    # one study at a time (the WS files are a separate alt):
+    python -m kfnet_tpu.tools.norm_summary $(ls docs/NORM_STUDY*.json | grep -v WS)
+    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY_WS*.json --markdown
+    # three-way (group baseline shared by the none and ws studies):
+    python -m kfnet_tpu.tools.norm_summary docs/NORM_STUDY*.json --three_way
 
 Conventions mirror tools/calib_summary.py: a cell is a CI-*win* for
 ``none`` when the paired mean's 95% CI lies entirely below 0, a
@@ -51,7 +54,7 @@ def _fmt_cell(stat, scale, translation):
   return f"{m:+.1f} [{lo:+.1f}, {hi:+.1f}]{mark}"
 
 
-def load_rows(paths):
+def load_rows(paths, allow_mixed=False):
   rows = []
   alts = set()
   for path in paths:
@@ -60,9 +63,10 @@ def load_rows(paths):
     scene = art["scene"]
     alt = art.get("alt_norm", "none")  # pre-field artifacts were GN-vs-none
     alts.add(alt)
-    if len(alts) > 1:
+    if len(alts) > 1 and not allow_mixed:
       raise SystemExit(f"mixed studies in one summary ({sorted(alts)}) — "
-                       "summarize each alt norm separately")
+                       "summarize each alt norm separately, or pass "
+                       "--three_way for the shared-baseline merged table")
     seed = 2 if art.get("seed_offset") else 1
     if scene not in SCENE_SCALE:
       # fail loud: an unknown scene would be normalized at the wrong
@@ -87,14 +91,59 @@ def load_rows(paths):
   return rows
 
 
+def three_way(rows, markdown=False):
+  """Merged table for studies sharing the ``group`` baseline: one row
+  per (scene, seed), one Δ-translation column pair per alt norm. This
+  is the round-5 three-way trunk-norm verdict table (DESIGN.md §8) —
+  ``none − group`` and ``ws − group`` are directly comparable because
+  both studies were paired against the SAME trained GN stages on the
+  same fresh trajectories and PnP keys."""
+  alts = sorted({r["alt"] for r in rows})
+  by = {}
+  for r in rows:
+    key = (r["seed"], r["scene"])
+    if r["alt"] in by.setdefault(key, {}):
+      raise SystemExit(f"duplicate cell {key} for alt {r['alt']!r}")
+    by[key][r["alt"]] = r
+  heads = ["scene", "seed"] + [f"{a}−group {m}" for a in alts
+                               for m in ("meas ΔT mm", "filt ΔT mm")]
+  if markdown:
+    print("| " + " | ".join(heads) + " |")
+    print("|" + "---|" * len(heads))
+    line = "| {} |"
+  else:
+    print(" | ".join(heads))
+    line = "{}"
+  for (seed, scene), cells in sorted(by.items()):
+    cols = [scene, str(seed)]
+    for a in alts:
+      r = cells.get(a)
+      for m in ("meas ΔT mm", "filt ΔT mm"):
+        cols.append(r["cells"][m] if r else "—")
+    print(line.format(" | ".join(cols)))
+  print()
+  for a in alts:
+    arows = [r for r in rows if r["alt"] == a]
+    for label in ("meas ΔT mm", "filt ΔT mm"):
+      vs = [r["verdicts"][label] for r in arows]
+      print(f"{a} {label}: {vs.count('win')} win / {vs.count('~')} neutral"
+            f" / {vs.count('harm')} harm of {len(vs)}")
+
+
 def main(argv=None):
   p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
   p.add_argument("artifacts", nargs="+", help="NORM_STUDY_*.json files")
   p.add_argument("--markdown", action="store_true",
                  help="emit a GitHub-markdown table (doc-ready)")
+  p.add_argument("--three_way", action="store_true",
+                 help="merge studies of different alt norms (shared "
+                      "group baseline) into one row per (scene, seed)")
   args = p.parse_args(argv)
 
-  rows = load_rows(args.artifacts)
+  rows = load_rows(args.artifacts, allow_mixed=args.three_way)
+  if args.three_way:
+    three_way(rows, markdown=args.markdown)
+    return
   alt = rows[0]["alt"]
   metrics = metrics_for(alt)
   heads = ["scene", "seed"] + [m[0] for m in metrics]

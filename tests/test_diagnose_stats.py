@@ -262,3 +262,89 @@ def test_merge_modes_replaces_only_rerun_rows():
   by = {m["mode"]: m for m in merged}
   assert by["measurement_only"]["old"] is False
   assert by["filtered_serving_chi0.50_w16"]["old"] is True
+
+
+def test_counterfactual_derigid_removes_deformation_keeps_scatter():
+  """derigid must take a rotated+noisy field back to GT+noise: the
+  residual_stats of the edited map show ~zero rigid_move while the
+  non-rigid scatter magnitude is preserved."""
+  from kfnet_tpu.tools.diagnose import counterfactual_maps
+  gt, valid, rng = _field()
+  th = 0.05
+  R = np.array([[np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1.0]])
+  noise = rng.normal(scale=0.02, size=gt.shape)
+  pred = np.empty_like(gt)
+  for t in range(gt.shape[0]):
+    c = gt[t].reshape(-1, 3).mean(axis=0)
+    pred[t] = ((gt[t].reshape(-1, 3) - c) @ R.T + c).reshape(gt[t].shape)
+  pred = pred + noise
+  before = residual_stats(pred, gt, valid)
+  fixed = counterfactual_maps(pred, gt, valid, "derigid")
+  after = residual_stats(fixed, gt, valid)
+  assert after["median_rigid_move_m"] < 0.1 * before["median_rigid_move_m"]
+  # scatter survives the edit (Kabsch can't remove iid noise)
+  np.testing.assert_allclose(after["median_coord_err_m"],
+                             after["median_resid_after_rigid_m"], rtol=0.2)
+  assert after["median_coord_err_m"] > 0.5 * np.median(
+      np.linalg.norm(noise, axis=-1))
+
+
+def test_counterfactual_rigidonly_is_noise_free_deformation():
+  """rigidonly keeps ONLY the fitted deformation: its residual equals
+  the rigid_move of the original field with ~zero non-rigid remainder."""
+  from kfnet_tpu.tools.diagnose import counterfactual_maps
+  gt, valid, rng = _field()
+  th = 0.05
+  R = np.array([[np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1.0]])
+  noise = rng.normal(scale=0.02, size=gt.shape)
+  pred = np.empty_like(gt)
+  for t in range(gt.shape[0]):
+    c = gt[t].reshape(-1, 3).mean(axis=0)
+    pred[t] = ((gt[t].reshape(-1, 3) - c) @ R.T + c).reshape(gt[t].shape)
+  pred = pred + noise
+  iso = counterfactual_maps(pred, gt, valid, "rigidonly")
+  s = residual_stats(iso, gt, valid)
+  assert s["median_resid_after_rigid_m"] < 5e-3
+  # deformation magnitude preserved (float32 output => loose rtol)
+  base = residual_stats(pred, gt, valid)
+  np.testing.assert_allclose(s["median_rigid_move_m"],
+                             base["median_rigid_move_m"], rtol=0.1)
+
+
+def test_counterfactual_derigid_pool_uses_pool_fit():
+  """When the sigma-selected pool carries a coherent shift the full
+  field lacks, derigid_pool must correct the pool (its post-edit top-k
+  error collapses) while plain derigid, fitted on the whole field,
+  cannot."""
+  from kfnet_tpu.tools.diagnose import counterfactual_maps
+  T, H, W = 3, 10, 12
+  rng = np.random.default_rng(7)
+  gt = rng.normal(size=(T, H, W, 3))
+  valid = np.ones((T, H, W), bool)
+  sigma = np.ones((T, H, W, 1))
+  sigma[:, :3, :4] = 0.01          # pool = first 12 cells of each frame
+  pool = np.zeros((H, W), bool)
+  pool[:3, :4] = True
+  k = int(pool.sum())
+  pred = gt + rng.normal(scale=0.01, size=gt.shape)
+  pred[:, pool] += np.array([0.5, 0.0, 0.0])   # coherent pool-only shift
+  fixed = counterfactual_maps(pred, gt, valid, "derigid_pool",
+                              variance=sigma, top_k=k)
+  full = counterfactual_maps(pred, gt, valid, "derigid")
+  err_fixed = np.linalg.norm(fixed[:, pool] - gt[:, pool], axis=-1)
+  err_full = np.linalg.norm(full[:, pool] - gt[:, pool], axis=-1)
+  assert np.median(err_fixed) < 0.1 * np.median(err_full)
+
+
+def test_counterfactual_passthrough_on_low_valid_frames():
+  from kfnet_tpu.tools.diagnose import counterfactual_maps
+  gt, valid, rng = _field()
+  valid[1] = False                 # frame 1: no valid cells at all
+  pred = gt + 0.3
+  out = counterfactual_maps(pred, gt, valid, "derigid")
+  np.testing.assert_allclose(out[1], pred[1].astype(np.float32))
+  assert np.abs(out[0] - gt[0]).max() < 1e-5

@@ -93,3 +93,52 @@ def test_main_markdown_smoke(tmp_path, capsys):
   assert "4 win / 0 neutral / 0 harm of 1" not in out  # per-metric lines
   assert "meas ΔT mm: 1 win / 0 neutral / 0 harm of 1" in out
   assert "1.0543" in out
+
+
+def _ws_artifact(tmp_path, name, scene, sign=-1.0, seed_offset=0):
+  paired = {f"{p}_ws_minus_group": _stat(sign * 0.010, sign * 0.015,
+                                         sign * 0.005)
+            for p in ("meas_translation", "filt_translation",
+                      "meas_rotation", "filt_rotation")}
+  art = {"scene": scene, "seed_offset": seed_offset, "alt_norm": "ws",
+         "test_frames": 480, "paired": paired}
+  path = tmp_path / name
+  path.write_text(json.dumps(art))
+  return str(path)
+
+
+def test_mixed_alts_rejected_without_three_way(tmp_path):
+  a = _artifact(tmp_path, "NORM_STUDY.json", "sceneA")
+  b = _ws_artifact(tmp_path, "NORM_STUDY_WS.json", "sceneA")
+  with pytest.raises(SystemExit, match="three_way"):
+    norm_summary.load_rows([a, b])
+
+
+def test_three_way_merges_shared_baseline(tmp_path, capsys):
+  a = _artifact(tmp_path, "NORM_STUDY.json", "sceneA")          # none wins
+  b = _ws_artifact(tmp_path, "NORM_STUDY_WS.json", "sceneA",
+                   sign=+1.0)                                   # ws harms
+  norm_summary.main([a, b, "--three_way"])
+  out = capsys.readouterr().out
+  head, row = out.splitlines()[0], out.splitlines()[1]
+  assert "none−group meas ΔT mm" in head and "ws−group meas ΔT mm" in head
+  assert row.startswith("sceneA | 1 | -10.0 [")
+  assert "+10.0 [" in row and row.rstrip().endswith("!")
+  assert "none meas ΔT mm: 1 win / 0 neutral / 0 harm of 1" in out
+  assert "ws meas ΔT mm: 0 win / 0 neutral / 1 harm of 1" in out
+
+
+def test_three_way_missing_cell_renders_dash(tmp_path, capsys):
+  a = _artifact(tmp_path, "NORM_STUDY.json", "sceneA")
+  b = _ws_artifact(tmp_path, "NORM_STUDY_WS.json", "sceneB")
+  norm_summary.main([a, b, "--three_way"])
+  out = capsys.readouterr().out
+  assert any("sceneA | 1" in l and "—" in l for l in out.splitlines())
+
+
+def test_three_way_duplicate_cell_fails_loud(tmp_path):
+  a = _ws_artifact(tmp_path, "a.json", "sceneA")
+  b = _ws_artifact(tmp_path, "b.json", "sceneA")
+  rows = norm_summary.load_rows([a, b], allow_mixed=True)
+  with pytest.raises(SystemExit, match="duplicate"):
+    norm_summary.three_way(rows)
