@@ -155,6 +155,7 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
   g_all = np.asarray(gt_coords, np.float64)
   rigid_move, resid_after = [], []
   rigid_rot, implied_cam = [], []
+  radial_fracs = []
   for t in range(e.shape[0]):
     m = v[t]
     if m.sum() <= 100:
@@ -169,6 +170,19 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
       rigid_rot.append(float(np.degrees(np.arccos(cos))))
       c = np.asarray(cam_centers[t], np.float64)
       implied_cam.append(float(np.linalg.norm(R.T @ (c - tt) - c)))
+      # radial/tangential split of the residual wrt the camera's viewing
+      # rays: a point moved ALONG its own ray reprojects identically, so
+      # PnP's reprojection-threshold RANSAC cannot see (or reject) the
+      # radial component — it stays "inlier" and the pose absorbs it as
+      # depth/translation error. |cos| of a 3D-isotropic residual vs the
+      # ray is 0.5 in expectation; frac → 1 means depth-structured error.
+      ray = g - c
+      rn = np.linalg.norm(ray, axis=-1)
+      en = np.linalg.norm(p - g, axis=-1)
+      ok = (rn > 1e-9) & (en > 1e-9)
+      if ok.sum() > 100:
+        cosr = np.abs(np.sum((p - g)[ok] * ray[ok], axis=-1)) / (en[ok] * rn[ok])
+        radial_fracs.append(float(np.median(cosr)))
   out = {
       "median_coord_err_m": float(np.median(norms)) if norms.size else None,
       "mean_coord_err_m": float(norms.mean()) if norms.size else None,
@@ -185,6 +199,8 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
                                    if rigid_rot else None)
     out["median_implied_cam_move_m"] = (float(np.median(implied_cam))
                                         if implied_cam else None)
+    out["median_radial_frac"] = (float(np.median(radial_fracs))
+                                 if radial_fracs else None)
   if variance is not None:
     sig = np.asarray(variance, np.float64)[..., 0]
     err_n = np.linalg.norm(e, axis=-1)
@@ -193,6 +209,7 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
     topk_errs, rhos = [], []
     pool_rot, pool_cam, pool_resid = [], [], []
     pool_rad, pool_gain = [], []
+    pool_radial, pool_tangential = [], []
     for t in range(e.shape[0]):
       s_t, e_t, m = sig[t].ravel(), err_n[t].ravel(), v[t].ravel()
       if m.sum() <= 100:
@@ -216,6 +233,19 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
         p_fit = p @ R.T + tt
         pool_resid.append(
             float(np.median(np.linalg.norm(p_fit - g, axis=-1))))
+        # radial/tangential magnitudes of the pool residual (meters):
+        # tangential error is what reprojection-threshold RANSAC can
+        # see; radial error is reprojection-invisible depth error.
+        ray = g - c
+        rn = np.linalg.norm(ray, axis=-1)
+        okr = rn > 1e-9
+        if okr.sum() > 100:
+          err = p[okr] - g[okr]
+          rad = np.abs(np.sum(err * ray[okr], axis=-1)) / rn[okr]
+          tan = np.sqrt(np.maximum(
+              np.sum(err * err, axis=-1) - rad * rad, 0.0))
+          pool_radial.append(float(np.median(rad)))
+          pool_tangential.append(float(np.median(tan)))
         cen = g.mean(axis=0)
         r = float(np.median(np.linalg.norm(g - cen, axis=-1)))
         pool_rad.append(r)
@@ -235,6 +265,10 @@ def residual_stats(coords, gt_coords, valid, variance=None, top_k=None,
                                     if pool_rad else None)
       out["pool_lever_arm_gain"] = (float(np.median(pool_gain))
                                     if pool_gain else None)
+      out["pool_radial_err_m"] = (float(np.median(pool_radial))
+                                  if pool_radial else None)
+      out["pool_tangential_err_m"] = (float(np.median(pool_tangential))
+                                      if pool_tangential else None)
   return out
 
 

@@ -47,6 +47,9 @@ STATS = (
     ("pNonrig", "pool_resid_after_rigid_m", 3),
     ("pRad", "pool_cloud_radius_m", 2),
     ("pGain", "pool_lever_arm_gain", 1),
+    ("radF", "median_radial_frac", 2),
+    ("pRadE", "pool_radial_err_m", 3),
+    ("pTanE", "pool_tangential_err_m", 3),
 )
 
 

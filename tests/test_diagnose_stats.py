@@ -348,3 +348,53 @@ def test_counterfactual_passthrough_on_low_valid_frames():
   out = counterfactual_maps(pred, gt, valid, "derigid")
   np.testing.assert_allclose(out[1], pred[1].astype(np.float32))
   assert np.abs(out[0] - gt[0]).max() < 1e-5
+
+
+def _rays_setup(T=3, H=10, W=12, seed=3):
+  rng = np.random.default_rng(seed)
+  gt = rng.normal(size=(T, H, W, 3)) + np.array([0.0, 0.0, 5.0])
+  valid = np.ones((T, H, W), bool)
+  cams = np.zeros((T, 3))          # camera at origin, scene ~5 m away
+  return gt, valid, cams, rng
+
+
+def test_radial_error_has_unit_radial_frac():
+  """Error along each point's own viewing ray: reprojection-invisible.
+  radial_frac -> 1, pool tangential -> 0, pool radial = magnitude."""
+  gt, valid, cams, rng = _rays_setup()
+  rays = gt / np.linalg.norm(gt, axis=-1, keepdims=True)
+  pred = gt + 0.2 * rays
+  sigma = np.ones(gt.shape[:3] + (1,))
+  s = residual_stats(pred, gt, valid, variance=sigma,
+                     top_k=gt[0, ..., 0].size, cam_centers=cams)
+  assert s["median_radial_frac"] > 0.999
+  np.testing.assert_allclose(s["pool_radial_err_m"], 0.2, rtol=1e-9)
+  assert s["pool_tangential_err_m"] < 1e-9
+
+
+def test_isotropic_error_radial_frac_half():
+  gt, valid, cams, rng = _rays_setup()
+  pred = gt + rng.normal(scale=0.1, size=gt.shape)
+  sigma = np.ones(gt.shape[:3] + (1,))
+  s = residual_stats(pred, gt, valid, variance=sigma,
+                     top_k=gt[0, ..., 0].size, cam_centers=cams)
+  # |cos| of an isotropic 3D direction has median 0.5
+  assert 0.35 < s["median_radial_frac"] < 0.65
+  # radial and tangential split the magnitude: tan = sqrt(e^2 - rad^2)
+  assert s["pool_radial_err_m"] > 0.01
+  assert s["pool_tangential_err_m"] > 0.01
+
+
+def test_tangential_error_has_zero_radial_frac():
+  gt, valid, cams, rng = _rays_setup()
+  rays = gt / np.linalg.norm(gt, axis=-1, keepdims=True)
+  up = np.array([0.0, 1.0, 0.0])
+  tang = np.cross(rays, up)
+  tang /= np.linalg.norm(tang, axis=-1, keepdims=True)
+  pred = gt + 0.15 * tang
+  sigma = np.ones(gt.shape[:3] + (1,))
+  s = residual_stats(pred, gt, valid, variance=sigma,
+                     top_k=gt[0, ..., 0].size, cam_centers=cams)
+  assert s["median_radial_frac"] < 1e-6
+  assert s["pool_radial_err_m"] < 1e-9
+  np.testing.assert_allclose(s["pool_tangential_err_m"], 0.15, rtol=1e-9)
