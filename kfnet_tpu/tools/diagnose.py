@@ -3,21 +3,35 @@
 Round-3 sweeps established: on clean test streams the filtered pose can
 be WORSE than measurement-only on held-out scenes even though the
 innovation statistics are fully consistent (mean Mahalanobis ≤ 3 — the
-adaptive-S sweep never fires there). This tool pins WHY, per scene:
+adaptive-S sweep never fires there). This tool pins WHY, per scene, at three levels:
 
-  1. coordinate-space error (the field the filter actually optimizes)
-     for measurement vs filtered — if the filter improves or holds
-     coordinate error while pose error worsens, the harm is not a
-     mis-weighted average but a STRUCTURE change;
-  2. spatial autocorrelation of the coordinate residual — warped priors
-     carry smooth, spatially-correlated errors, while measurement errors
-     are close to pixel-iid. PnP-RANSAC tolerates iid scatter far better
-     than a correlated bias field of the same magnitude;
-  3. RANSAC inlier counts per mode (the solver's own view of map
-     quality).
+  1. FIELD statistics (the round-3/4 layer): coordinate-space error,
+     spatial autocorrelation, per-frame global bias, RANSAC inlier
+     ratio — if the filter improves or holds coordinate error while
+     pose error worsens, the harm is not a mis-weighted average but a
+     STRUCTURE change.
+  2. STRUCTURE statistics (round 5): the per-frame Kabsch rigid /
+     non-rigid split, its camera-implied (lever-arm-amplified) pose
+     error, the same restricted to the σ-selected PnP pool, the pool's
+     lever-arm geometry, σ-ranking quality, and the radial/tangential
+     split of the residual wrt viewing rays (radial error reprojects
+     identically — reprojection-threshold RANSAC cannot reject it).
+     See ``residual_stats`` for each statistic's rationale.
+  3. COUNTERFACTUAL solves (round 5, ``--modes cf_``): re-run the
+     unchanged solver on maps with the fitted rigid deformation
+     removed (``cf_derigid`` / ``cf_derigid_pool``) or isolated
+     (``cf_rigidonly``) — turning the correlational stats above into a
+     causal attribution. See ``counterfactual_maps``.
 
-    python -m kfnet_tpu.tools.diagnose --work_dir /tmp/protocol_full \
-        --scene heldout --report docs/DIAGNOSE_heldout_s1.json
+    python -m kfnet_tpu.tools.diagnose --work_dir .protocol_cache/full \
+        --full_size --scene heldout --report docs/DIAGNOSE_heldout_s1.json
+    # targeted stat upgrade (merge keeps the other mode rows):
+    ... --modes measurement_only --report <same file>
+    # counterfactual modes only:
+    ... --modes cf_ --report <same file>
+
+Verdict written from these artifacts: docs/DESIGN.md §8
+(transfer-inversion mechanism); table: tools/diagnose_summary.py.
 """
 
 from __future__ import annotations
